@@ -1,0 +1,43 @@
+"""Exponential moving average over parameter pytrees.
+
+Replaces diffusers ``EMAModel`` as used by the reference full-SD finetuner
+(``data_generation/finetune_sd.py:528-537, 831-836``). On TPU the EMA tree
+simply lives in HBM next to the params (no CPU offload needed for SD-1.x),
+and the update is a fused elementwise pjit-friendly map.
+
+The decay warmup follows diffusers' default: ``decay_t = min(max_decay,
+(1 + t) / (10 + t))`` with ``t`` the number of EMA updates so far.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EMAState:
+    params: Any  # shadow parameter pytree
+    step: jax.Array  # () int32 update counter
+
+
+def ema_init(params: Any) -> EMAState:
+    return EMAState(
+        params=jax.tree.map(lambda p: p.astype(jnp.float32), params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def ema_update(state: EMAState, params: Any, max_decay: float = 0.9999) -> EMAState:
+    t = state.step.astype(jnp.float32) + 1.0
+    decay = jnp.minimum(jnp.float32(max_decay), (1.0 + t) / (10.0 + t))
+    new_shadow = jax.tree.map(
+        lambda s, p: s * decay + (1.0 - decay) * p.astype(jnp.float32),
+        state.params,
+        params,
+    )
+    return EMAState(params=new_shadow, step=state.step + 1)
