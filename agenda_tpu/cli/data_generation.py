@@ -1,0 +1,119 @@
+"""CLI: batched image + DAAM-heatmap generation.
+
+Flag-compatible with the reference ``data_generation/data_generation.py:11-23``
+(same flags, same output tree: ``images/<seed>.png`` and
+``daam_<word>_heatmaps/<seed>.png``), plus TPU extras:
+
+- ``--batch-size``: the reference generates one image per python-loop
+  iteration; here seeds are batched through one compiled sampler (and shard
+  across a device mesh when more than one chip is attached).
+- ``--num-inference-steps`` / ``--guidance-scale``: exposed instead of being
+  hardcoded (reference uses 20 steps / pipeline-default 7.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Image and attention map generation.")
+    p.add_argument("--save-dir", type=str, default="Data/Synthetic",
+                   help="Directory to save images (and heatmaps if enabled).")
+    p.add_argument("--pretrained-model-path", type=str,
+                   default="output/LINZ-Utah/sd1.4-token-finetune-stage-two/full_model_step_4500",
+                   help="Path of the pretrained pipeline to load (diffusers layout).")
+    p.add_argument("--learnable-tokens-embedding-path", type=str,
+                   default="output/LINZ-Utah/sd1.4-token-finetune-stage-one/learned_embeds_steps_9000.bin",
+                   help="Path to the learned token embeddings (.bin).")
+    p.add_argument("--prompt", type=str,
+                   default="An aerial view image with {} cars in {} Utah",
+                   help="Prompt template for image generation.")
+    p.add_argument("--initialize_token", type=str, nargs="+",
+                   default=["cars", "Utah", "New Zealand"],
+                   help="The initialization words for learnable tokens (stage one order).")
+    p.add_argument("--word_token_heatmaps", type=str, default=None, nargs="+",
+                   help="word tokens to compute DAAM heatmaps.")
+    p.add_argument("--store_learnable_token_heatmaps", action="store_true",
+                   help="Whether to store DAAM heatmaps for learnable tokens.")
+    p.add_argument("--num-images", type=int, default=10000, help="Number of images to generate.")
+    p.add_argument("--image-size", type=int, default=112, help="Size of the generated images.")
+    p.add_argument("--start-seed", type=int, default=0, help="First seed (resume support).")
+    p.add_argument("--batch-size", type=int, default=8, help="Seeds per compiled batch per device.")
+    p.add_argument("--num-inference-steps", type=int, default=20)
+    p.add_argument("--guidance-scale", type=float, default=7.5)
+    p.add_argument("--resolution", type=int, default=512, help="Sampling resolution before resize.")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from PIL import Image
+
+    from agenda_tpu.generate.pipeline import (
+        StableDiffusionPipeline,
+        heatmap_to_uint8,
+        images_to_uint8,
+    )
+    from agenda_tpu.io.learned_embeds import load_learned_embeddings
+    from agenda_tpu.utils.profiling import progress
+
+    args = parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    pipeline = StableDiffusionPipeline.from_pretrained(args.pretrained_model_path)
+
+    embeds_dict = load_learned_embeddings(args.learnable_tokens_embedding_path)
+    all_new_tokens = list(embeds_dict.keys())
+
+    all_word_token_heatmaps = list(args.word_token_heatmaps or [])
+    new_tokens = []
+    for t, n in zip(args.initialize_token, all_new_tokens):
+        if t in args.prompt:
+            if args.store_learnable_token_heatmaps:
+                all_word_token_heatmaps.append(n)
+            new_tokens.append(n)
+
+    pipeline.add_learned_tokens({t: embeds_dict[t] for t in new_tokens})
+    prompt = args.prompt.format(*new_tokens)
+
+    img_dir = os.path.join(args.save_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    for word in all_word_token_heatmaps:
+        os.makedirs(os.path.join(args.save_dir, f"daam_{word}_heatmaps"), exist_ok=True)
+
+    collect = bool(all_word_token_heatmaps)
+    seeds = list(range(args.start_seed, args.start_seed + args.num_images))
+    for i in progress(range(0, len(seeds), args.batch_size), desc="generate"):
+        batch_seeds = seeds[i : i + args.batch_size]
+        # Keep a static batch shape for the compiled sampler: pad the tail.
+        padded = batch_seeds + [batch_seeds[-1]] * (args.batch_size - len(batch_seeds))
+        images, heatmaps = pipeline(
+            prompt,
+            padded,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            collect_heatmaps=collect,
+            height=args.resolution,
+            width=args.resolution,
+        )
+        images = images_to_uint8(images)
+        for j, seed in enumerate(batch_seeds):
+            img = Image.fromarray(images[j]).resize((args.image_size, args.image_size))
+            if np.max(np.asarray(img)) < 1e-5:
+                # All-black output guard (reference NSFW-filter skip,
+                # data_generation.py:61-62).
+                continue
+            img.save(os.path.join(img_dir, f"{seed}.png"))
+            for word in all_word_token_heatmaps:
+                wh = pipeline.word_heatmap(heatmaps[j : j + 1], prompt, word)[0]
+                arr = heatmap_to_uint8(wh, args.image_size)
+                Image.fromarray(arr).save(
+                    os.path.join(args.save_dir, f"daam_{word}_heatmaps", f"{seed}.png")
+                )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Attention for the SD UNet / CLIP / VAE on TPU.
+
+Two paths:
+
+- ``attention_reference``: plain XLA einsum attention. Used for small
+  sequences (text len 77, VAE mid block) and as the correctness oracle.
+- ``flash_attention`` (agenda_tpu.kernels.flash): blockwise Pallas kernel for
+  the UNet's big self-attention (latent seq 4096/1024 at 512 resolution),
+  never materializing the S x S probability matrix in HBM.
+
+DAAM side output: the reference intercepts every cross-attention call with a
+Python ``AttnProcessor`` hook that re-runs softmax(QK^T) and stores the
+per-token probability maps (``data_generation/hook.py:83-122``). Here
+``cross_attention_with_probs`` computes the attention output *and* the
+head-averaged probability maps in one fused XLA computation: with only
+<=77 key tokens, the (B, S, 77) head-mean probs tensor is tiny, so the
+heatmaps come for free alongside the regular output — no hooks, no second
+pass, jit/scan-friendly.
+
+Shapes follow the TPU-friendly convention q/k/v: (B, S, H, D) with NHWC-style
+trailing feature dims; outputs match q.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Plain attention. q: (B, Sq, H, D), k/v: (B, Sk, H, D) -> (B, Sq, H, D).
+
+    Softmax accumulates in f32 regardless of input dtype (matches the
+    reference's ``attn.get_attention_scores`` upcast behavior).
+    """
+    dtype = q.dtype
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v)
+    return out
+
+
+def cross_attention_with_probs(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cross-attention emitting head-averaged probability maps as a side output.
+
+    Returns (out (B, Sq, H, D), probs_mean (B, Sq, Sk) f32).
+
+    probs_mean replicates ``hook.py:28-56`` ``_unravel_attn`` semantics: the
+    post-softmax probabilities averaged over heads (the caller reshapes Sq back
+    to (h, w) and indexes the text-token axis).
+    """
+    dtype = q.dtype
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v)
+    return out, jnp.mean(probs, axis=1)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatch: Pallas flash kernel for long self-attention, XLA otherwise.
+
+    ``use_flash=None`` auto-selects: flash when Sq == Sk >= 1024, no mask, and
+    we're on a TPU backend. The flash kernel replaces the reference's xformers
+    memory-efficient attention (``finetune_sd.py:539-550``).
+    """
+    if use_flash is None:
+        use_flash = (
+            mask is None
+            and q.shape[1] == k.shape[1]
+            and q.shape[1] >= 1024
+            and _on_tpu()
+        )
+    if use_flash:
+        from agenda_tpu.kernels.flash import flash_attention
+
+        return flash_attention(q, k, v)
+    return attention_reference(q, k, v, mask)
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)

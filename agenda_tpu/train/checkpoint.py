@@ -1,0 +1,166 @@
+"""Training checkpoints: diffusers-layout model + orbax train state, with
+rotation and resume.
+
+Reference semantics being matched (``data_generation/finetune_sd.py``):
+- ``checkpoint-{step}/`` directories under ``output_dir`` (553-590, 842-866);
+- the model inside a checkpoint is saved in *diffusers format* (``unet/``
+  subdir) via the custom accelerate save hook, so any checkpoint doubles as a
+  loadable model (555-564);
+- ``checkpoints_total_limit`` rotation deletes oldest first (845-862);
+- resume parses the step from the directory name, ``latest`` picks the
+  highest (723-748).
+
+The optimizer/EMA/step state rides in an orbax PyTree checkpoint next to the
+model weights (atomic writes, async-friendly) — replacing accelerate
+``save_state``/``load_state``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from agenda_tpu.io.diffusers_io import save_pipeline, unet_flax_to_torch, _write_safetensors, unet_config_to_json
+
+
+_CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
+
+
+def list_checkpoints(output_dir: str):
+    if not os.path.isdir(output_dir):
+        return []
+    out = []
+    for d in os.listdir(output_dir):
+        m = _CKPT_RE.match(d)
+        if m:
+            out.append((int(m.group(1)), os.path.join(output_dir, d)))
+    return sorted(out)
+
+
+def rotate_checkpoints(output_dir: str, total_limit: Optional[int]) -> None:
+    """Keep at most total_limit-1 so the next save lands within the limit
+    (finetune_sd.py:845-862 semantics)."""
+    if total_limit is None:
+        return
+    ckpts = list_checkpoints(output_dir)
+    if len(ckpts) >= total_limit:
+        for _, path in ckpts[: len(ckpts) - total_limit + 1]:
+            shutil.rmtree(path)
+
+
+def save_checkpoint(
+    output_dir: str,
+    step: int,
+    unet_config,
+    state,
+    total_limit: Optional[int] = None,
+    ema_as_unet_ema: bool = True,
+) -> str:
+    """Write checkpoint-{step}/{unet/, unet_ema/, train_state/}. Returns path."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    rotate_checkpoints(output_dir, total_limit)
+    path = os.path.join(output_dir, f"checkpoint-{step}")
+    os.makedirs(path, exist_ok=True)
+
+    # Model in diffusers format (save-hook semantics, finetune_sd.py:555-564).
+    unet_dir = os.path.join(path, "unet")
+    os.makedirs(unet_dir, exist_ok=True)
+    with open(os.path.join(unet_dir, "config.json"), "w") as f:
+        json.dump(unet_config_to_json(unet_config), f, indent=2)
+    params_np = jax.tree.map(np.asarray, state.params)
+    _write_safetensors(
+        os.path.join(unet_dir, "diffusion_pytorch_model.safetensors"),
+        unet_flax_to_torch({"params": params_np}),
+    )
+
+    if ema_as_unet_ema and state.ema is not None:
+        ema_dir = os.path.join(path, "unet_ema")
+        os.makedirs(ema_dir, exist_ok=True)
+        with open(os.path.join(ema_dir, "config.json"), "w") as f:
+            json.dump(unet_config_to_json(unet_config), f, indent=2)
+        _write_safetensors(
+            os.path.join(ema_dir, "diffusion_pytorch_model.safetensors"),
+            unet_flax_to_torch({"params": jax.tree.map(np.asarray, state.ema.params)}),
+        )
+
+    # Optimizer / step / EMA-counter state via orbax.
+    ckptr = ocp.PyTreeCheckpointer()
+    train_state_path = os.path.join(path, "train_state")
+    if os.path.exists(train_state_path):
+        shutil.rmtree(train_state_path)
+    ckptr.save(
+        os.path.abspath(train_state_path),
+        {
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "ema_step": None if state.ema is None else state.ema.step,
+        },
+    )
+    return path
+
+
+def find_resume_checkpoint(output_dir: str, resume_from: str) -> Optional[Tuple[int, str]]:
+    """resume_from is a path or 'latest' (finetune_sd.py:723-748)."""
+    if resume_from != "latest":
+        base = os.path.basename(os.path.normpath(resume_from))
+        m = _CKPT_RE.match(base)
+        path = resume_from if os.path.isabs(resume_from) else os.path.join(output_dir, base)
+        if m and os.path.isdir(path):
+            return int(m.group(1)), path
+        return None
+    ckpts = list_checkpoints(output_dir)
+    return ckpts[-1] if ckpts else None
+
+
+def load_checkpoint(path: str, state_template) -> Any:
+    """Restore a TrainState from checkpoint-{N}/: params from the diffusers
+    file, opt/ema state from orbax. state_template provides tree structure."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    from agenda_tpu.io.diffusers_io import _read_tensor_file, unet_torch_to_flax
+
+    sd = _read_tensor_file(os.path.join(path, "unet", "diffusion_pytorch_model"))
+    params = unet_torch_to_flax(sd)["params"]
+
+    ckptr = ocp.PyTreeCheckpointer()
+    abstract = jax.eval_shape(
+        lambda: {
+            "opt_state": state_template.opt_state,
+            "step": state_template.step,
+            "ema_step": None if state_template.ema is None else state_template.ema.step,
+        }
+    )
+    restored = ckptr.restore(os.path.abspath(os.path.join(path, "train_state")), item=abstract)
+
+    ema = state_template.ema
+    if ema is not None:
+        ema_file = os.path.join(path, "unet_ema", "diffusion_pytorch_model")
+        if os.path.exists(ema_file + ".safetensors"):
+            ema_params = unet_torch_to_flax(_read_tensor_file(ema_file))["params"]
+        else:
+            ema_params = params
+        ema = dataclasses.replace(ema, params=jax.tree.map(jnp_f32, ema_params), step=restored["ema_step"])
+
+    return dataclasses.replace(
+        state_template,
+        params=jax.tree.map(jnp_f32, params),
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+        ema=ema,
+    )
+
+
+def jnp_f32(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.float32)

@@ -1,0 +1,61 @@
+"""Progress reporting and optional device profiling.
+
+The reference relies on tqdm progress bars only (SURVEY.md §5); we add a
+``jax.profiler`` trace option around hot loops for TPU performance work.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import sys
+import time
+
+
+def progress(iterable, desc: str = "", every: int = 1):
+    """tqdm-free progress reporter (single-line, low overhead)."""
+    try:
+        total = len(iterable)
+    except TypeError:
+        total = None
+    start = time.time()
+    for i, item in enumerate(iterable):
+        yield item
+        if i % every == 0 or (total is not None and i == total - 1):
+            el = time.time() - start
+            rate = (i + 1) / el if el > 0 else 0
+            msg = f"\r{desc}: {i + 1}" + (f"/{total}" if total else "") + f" [{el:.0f}s, {rate:.2f} it/s]"
+            sys.stderr.write(msg)
+            sys.stderr.flush()
+    sys.stderr.write("\n")
+
+
+@contextlib.contextmanager
+def maybe_profile(trace_dir: str | None):
+    """Wrap a hot loop in a jax.profiler trace when ``trace_dir`` is set
+    (also honors AGENDA_TPU_PROFILE_DIR)."""
+    import jax
+
+    trace_dir = trace_dir or os.environ.get("AGENDA_TPU_PROFILE_DIR")
+    if not trace_dir:
+        yield
+        return
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
+class StepTimer:
+    """Rolling steps/sec metering for training loops."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self.times = []
+
+    def tick(self) -> float:
+        now = time.time()
+        self.times.append(now)
+        if len(self.times) > self.window:
+            self.times.pop(0)
+        if len(self.times) < 2:
+            return 0.0
+        return (len(self.times) - 1) / (self.times[-1] - self.times[0])

@@ -1,0 +1,137 @@
+"""Headline benchmark: 512x512 SD images/sec/chip WITH DAAM heatmaps on.
+
+Runs the flagship generation path (full SD-1.x UNet, 20 PLMS steps, CFG,
+fused per-token heatmap accumulation, VAE decode) on one chip with random
+weights (throughput is weight-independent) and reports steady-state
+images/sec/chip.
+
+Baseline (BASELINE.json north star): 10,000 images/hour on a v5e-8
+=> 0.3472 images/sec/chip. vs_baseline = ours / 0.3472.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 10000.0 / 3600.0 / 8.0
+
+
+def main():
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from agenda_tpu.core.schedules import make_schedule
+    from agenda_tpu.generate.pipeline import StableDiffusionPipeline
+    from agenda_tpu.models import (
+        AutoencoderKL,
+        CLIPTextConfig,
+        CLIPTextModel,
+        UNet2DConditionModel,
+        UNetConfig,
+        VAEConfig,
+    )
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    dtype = jnp.bfloat16
+
+    unet_cfg = UNetConfig()
+    vae_cfg = VAEConfig()
+    clip_cfg = CLIPTextConfig()
+
+    unet = UNet2DConditionModel(unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    text = CLIPTextModel(clip_cfg, dtype=dtype)
+
+    # Random weights (shape-only): init via eval_shape + normal fill, bf16 to
+    # halve HBM for the frozen inference path.
+    def materialize(tree_shape, key):
+        leaves, treedef = jax.tree_util.tree_flatten(tree_shape)
+        keys = jax.random.split(key, len(leaves))
+        vals = [
+            jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02 for k, l in zip(keys, leaves)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    k = jax.random.key(0)
+    unet_params = materialize(
+        jax.eval_shape(
+            lambda: unet.init(k, jnp.zeros((1, 64, 64, 4)), jnp.array([1]),
+                              jnp.zeros((1, 77, 768)))
+        ),
+        jax.random.key(1),
+    )
+    vae_params = materialize(
+        jax.eval_shape(lambda: vae.init(k, jnp.zeros((1, 512, 512, 3)), k)),
+        jax.random.key(2),
+    )
+    text_params = materialize(
+        jax.eval_shape(lambda: text.init(k, jnp.ones((1, 77), jnp.int32))),
+        jax.random.key(3),
+    )
+    # Token/position embeddings need f32 for the table-edit path; fine in bf16 here.
+
+    from agenda_tpu.data.tokenizer import CLIPTokenizer
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from fixtures import write_tiny_tokenizer
+    import tempfile
+
+    tok_dir = tempfile.mkdtemp(prefix="bench_tok_")
+    write_tiny_tokenizer(tok_dir)
+    tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+    # Align CLIP vocab-size param table with the fixture tokenizer:
+    vocab = len(tokenizer)
+    tp = dict(text_params)
+    p = dict(tp["params"])
+    p["token_embedding"] = jax.random.normal(jax.random.key(4), (vocab, 768), jnp.bfloat16) * 0.02
+    tp["params"] = p
+    text_params = tp
+
+    pipe = StableDiffusionPipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        text_encoder=text, text_params=text_params, tokenizer=tokenizer,
+        schedule=make_schedule(), scheduler_type="pndm", latent_hw=64, dtype=dtype,
+    )
+
+    prompt = "an aerial view image with cars in utah"
+    # Warmup (compile)
+    t0 = time.time()
+    pipe(prompt, seeds=list(range(batch)), num_inference_steps=steps, collect_heatmaps=True)
+    compile_s = time.time() - t0
+
+    times = []
+    for r in range(repeats):
+        t0 = time.time()
+        imgs, heat = pipe(prompt, seeds=list(range(r, r + batch)),
+                          num_inference_steps=steps, collect_heatmaps=True)
+        times.append(time.time() - t0)
+    best = min(times)
+    img_per_sec = batch / best
+
+    result = {
+        "metric": "512px SD images/sec/chip with DAAM heatmaps (20-step PLMS, CFG)",
+        "value": round(img_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={batch} steps={steps} best={best:.2f}s/batch compile={compile_s:.0f}s "
+        f"times={['%.2f' % t for t in times]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
