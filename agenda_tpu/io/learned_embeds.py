@@ -19,7 +19,10 @@ def save_learned_embeddings(tokens: List[str], embeddings: np.ndarray, path: str
     """tokens: [k], embeddings: (k, hidden) -> torch .bin dict {token: tensor}."""
     import torch
 
-    d = {tok: torch.from_numpy(np.asarray(embeddings[i], dtype=np.float32)) for i, tok in enumerate(tokens)}
+    d = {
+        tok: torch.from_numpy(np.array(embeddings[i], dtype=np.float32, copy=True))
+        for i, tok in enumerate(tokens)
+    }
     torch.save(d, path)
 
 
