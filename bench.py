@@ -45,9 +45,19 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     dtype = jnp.bfloat16
 
+    from agenda_tpu.data.tokenizer import CLIPTokenizer
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from fixtures import write_tiny_tokenizer
+    import tempfile
+
+    tok_dir = tempfile.mkdtemp(prefix="bench_tok_")
+    write_tiny_tokenizer(tok_dir)
+    tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+
     unet_cfg = UNetConfig()
     vae_cfg = VAEConfig()
-    clip_cfg = CLIPTextConfig()
+    clip_cfg = CLIPTextConfig(vocab_size=len(tokenizer))
 
     unet = UNet2DConditionModel(unet_cfg, dtype=dtype)
     vae = AutoencoderKL(vae_cfg, dtype=dtype)
@@ -79,25 +89,6 @@ def main():
         jax.eval_shape(lambda: text.init(k, jnp.ones((1, 77), jnp.int32))),
         jax.random.key(3),
     )
-    # Token/position embeddings need f32 for the table-edit path; fine in bf16 here.
-
-    from agenda_tpu.data.tokenizer import CLIPTokenizer
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from fixtures import write_tiny_tokenizer
-    import tempfile
-
-    tok_dir = tempfile.mkdtemp(prefix="bench_tok_")
-    write_tiny_tokenizer(tok_dir)
-    tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
-    # Align CLIP vocab-size param table with the fixture tokenizer:
-    vocab = len(tokenizer)
-    tp = dict(text_params)
-    p = dict(tp["params"])
-    p["token_embedding"] = jax.random.normal(jax.random.key(4), (vocab, 768), jnp.bfloat16) * 0.02
-    tp["params"] = p
-    text_params = tp
-
     pipe = StableDiffusionPipeline(
         unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
         text_encoder=text, text_params=text_params, tokenizer=tokenizer,
