@@ -1,0 +1,269 @@
+"""Detector training/testing runner (the mmengine-Runner equivalent).
+
+Drives any detector family exposing the (model, loss_fn, predict_fn)
+interface over a dp mesh:
+
+- epoch-based training with SGD+momentum or AdamW (the reference configs
+  use SGD lr 0.2 / 0.02, ``configs/Real_Source/faster-rcnn.py:375-383``),
+  linear warmup + MultiStep or cosine decay;
+- validation every ``val_interval`` epochs with the COCO-mAP evaluator and
+  ``save_best`` checkpointing on bbox_mAP/bbox_mAP_50
+  (``faster-rcnn.py:336-342, 392-397``);
+- ``test`` produces prediction records (the reference's ``prediction.pkl``
+  format) consumed by the annotation stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from agenda_tpu.annotate.records import save_predictions
+from agenda_tpu.detect.coco_eval import coco_map
+from agenda_tpu.io.diffusers_io import _flatten, _nest, _write_safetensors, _read_tensor_file
+from agenda_tpu.utils.profiling import StepTimer
+
+logger = logging.getLogger("agenda_tpu.detect")
+
+
+@dataclasses.dataclass
+class RunnerConfig:
+    output_dir: str = "work_dirs/run"
+    max_epochs: int = 100
+    batch_size: int = 16  # per device
+    lr: float = 0.02
+    optimizer: str = "sgd"  # sgd | adamw
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    warmup_iters: int = 500
+    lr_milestones: Tuple[float, ...] = (0.66, 0.88)  # fractions of max_epochs
+    val_interval: int = 5
+    save_best: Tuple[str, ...] = ("bbox_mAP", "bbox_mAP_50")
+    clip_grad_norm: Optional[float] = 35.0
+    seed: int = 0
+    log_interval: int = 20
+
+
+def save_variables(path: str, variables: Dict[str, Any]) -> None:
+    flat = {}
+    for col, tree in variables.items():
+        for k, v in _flatten(jax.tree.map(np.asarray, tree)).items():
+            flat[col + "." + ".".join(k)] = np.asarray(v)
+    _write_safetensors(path, flat)
+
+
+def load_variables(path: str) -> Dict[str, Any]:
+    base = path[: -len(".safetensors")] if path.endswith(".safetensors") else path
+    sd = _read_tensor_file(base)
+    cols: Dict[str, dict] = {}
+    for key, v in sd.items():
+        col, rest = key.split(".", 1)
+        cols.setdefault(col, {})[tuple(rest.split("."))] = v
+    return {col: _nest(flat) for col, flat in cols.items()}
+
+
+def make_lr_fn(cfg: RunnerConfig, steps_per_epoch: int):
+    total = cfg.max_epochs * steps_per_epoch
+    milestones = [int(m * total) for m in cfg.lr_milestones]
+
+    def fn(step):
+        s = jnp.float32(step)
+        warm = jnp.clip(s / max(1, cfg.warmup_iters), 0.0, 1.0)
+        base = jnp.float32(cfg.lr) * (0.001 + (1 - 0.001) * warm)
+        decay = jnp.ones(())
+        for m in milestones:
+            decay = decay * jnp.where(s >= m, 0.1, 1.0)
+        return base * decay
+
+    return fn
+
+
+def make_optimizer(cfg: RunnerConfig, steps_per_epoch: int):
+    lr_fn = make_lr_fn(cfg, steps_per_epoch)
+    chain = []
+    if cfg.clip_grad_norm:
+        chain.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+    if cfg.optimizer == "sgd":
+        chain.append(optax.sgd(lr_fn, momentum=cfg.momentum))
+        if cfg.weight_decay:
+            chain.insert(-1, optax.add_decayed_weights(cfg.weight_decay))
+    elif cfg.optimizer == "adamw":
+        chain.append(optax.adamw(lr_fn, weight_decay=cfg.weight_decay))
+    else:
+        raise ValueError(cfg.optimizer)
+    return optax.chain(*chain), lr_fn
+
+
+class DetectorRunner:
+    """Train/val/test driver for a detector family.
+
+    family interface:
+      init_variables(rng) -> {"params", "batch_stats"?}
+      loss_fn(variables, batch, rng, train=True) -> (loss, (metrics, new_batch_stats))
+      predict_fn(variables, images) -> (boxes (B,K,4), scores (B,K), valid (B,K))
+    """
+
+    def __init__(self, family, run_cfg: RunnerConfig):
+        self.family = family
+        self.cfg = run_cfg
+        os.makedirs(run_cfg.output_dir, exist_ok=True)
+
+    # -- training -----------------------------------------------------------
+
+    def train(self, train_dataset, val_dataset=None, resume: Optional[str] = None):
+        from agenda_tpu.data.datasets import DataLoader
+        from agenda_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+        cfg = self.cfg
+        mesh = make_mesh()
+        global_bs = cfg.batch_size * mesh.shape["dp"]
+        loader = DataLoader(train_dataset, global_bs, shuffle=True, seed=cfg.seed,
+                            num_workers=2, pad_to_full=True)
+        steps_per_epoch = len(loader)
+        tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
+
+        variables = self.family.init_variables(jax.random.key(cfg.seed))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        start_epoch = 0
+        if resume:
+            loaded = load_variables(resume)
+            params = loaded["params"]
+            batch_stats = loaded.get("batch_stats", batch_stats)
+
+        params = replicate(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+        loss_fn = self.family.loss_fn
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, batch, rng, step):
+            rng = jax.random.fold_in(rng, step)
+
+            def lf(p):
+                loss, (metrics, new_bs) = loss_fn(
+                    {"params": p, "batch_stats": batch_stats}, batch, rng
+                )
+                return loss, (metrics, new_bs)
+
+            (loss, (metrics, new_bs)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_params, new_bs, new_opt, metrics
+
+        rng = jax.random.key(cfg.seed)
+        best: Dict[str, float] = {k: -1.0 for k in cfg.save_best}
+        timer = StepTimer()
+        gstep = 0
+        metrics_log = open(os.path.join(cfg.output_dir, "metrics.jsonl"), "a")
+        import json as _json
+
+        for epoch in range(start_epoch, cfg.max_epochs):
+            for batch in loader:
+                db = shard_batch(
+                    {"image": batch["image"], "gt_boxes": batch["gt_boxes"],
+                     "gt_valid": batch["gt_valid"]},
+                    mesh,
+                )
+                params, batch_stats, opt_state, metrics = train_step(
+                    params, batch_stats, opt_state, db, rng, jnp.int32(gstep)
+                )
+                gstep += 1
+                if gstep % cfg.log_interval == 0 or gstep <= 2:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m.update(epoch=epoch, step=gstep, lr=float(lr_fn(gstep)),
+                             sps=timer.tick())
+                    metrics_log.write(_json.dumps(m) + "\n")
+                    metrics_log.flush()
+                    logger.info("e%d s%d loss=%.4f lr=%.2e", epoch, gstep,
+                                m["loss"], m["lr"])
+            if val_dataset is not None and (epoch + 1) % cfg.val_interval == 0:
+                variables = {"params": params, "batch_stats": batch_stats}
+                results = self.evaluate(variables, val_dataset)
+                logger.info("epoch %d val: %s", epoch,
+                            {k: round(v, 4) for k, v in results.items()})
+                metrics_log.write(_json.dumps({"epoch": epoch, **results}) + "\n")
+                metrics_log.flush()
+                for key in cfg.save_best:
+                    if results.get(key, -1) > best[key]:
+                        best[key] = results[key]
+                        save_variables(
+                            os.path.join(cfg.output_dir, f"best_{key}.safetensors"),
+                            variables,
+                        )
+            save_variables(
+                os.path.join(cfg.output_dir, "latest.safetensors"),
+                {"params": params, "batch_stats": batch_stats},
+            )
+        metrics_log.close()
+        return {"params": params, "batch_stats": batch_stats}
+
+    # -- evaluation / test --------------------------------------------------
+
+    def _predict_batches(self, variables, dataset, batch_size=None):
+        cfg = self.cfg
+        bs = batch_size or cfg.batch_size
+
+        predict = jax.jit(self.family.predict_fn)
+        records = []
+        n = len(dataset)
+        for i in range(0, n, bs):
+            items = [dataset[j] for j in range(i, min(i + bs, n))]
+            pad = bs - len(items)
+            images = np.stack([it["image"] for it in items] + [items[-1]["image"]] * pad)
+            boxes, scores, valid = predict(variables, jnp.asarray(images))
+            boxes, scores, valid = np.asarray(boxes), np.asarray(scores), np.asarray(valid)
+            for k, it in enumerate(items):
+                keep = valid[k] & (scores[k] > 0)
+                records.append(
+                    {
+                        "item": it,
+                        "boxes": boxes[k][keep],
+                        "scores": scores[k][keep],
+                    }
+                )
+        return records
+
+    def evaluate(self, variables, dataset) -> Dict[str, float]:
+        recs = self._predict_batches(variables, dataset)
+        gts = [r["item"]["gt_boxes"][r["item"]["gt_valid"]] for r in recs]
+        return coco_map(gts, [r["boxes"] for r in recs], [r["scores"] for r in recs])
+
+    def test(self, variables, dataset, out_pkl: Optional[str] = None,
+             img_dir: Optional[str] = None) -> List[dict]:
+        """Produce prediction records (== mmdet tools/test.py --out)."""
+        recs = self._predict_batches(variables, dataset)
+        out = []
+        for r in recs:
+            it = r["item"]
+            image_id = int(it["image_id"])
+            file_name = dataset.file_name(image_id)
+            sb = np.asarray(it.get("scale_back", np.ones(4)), np.float32)
+            rec = {
+                "img_path": os.path.join(img_dir or dataset.img_dir, file_name),
+                "gt_instances": {
+                    "bboxes": np.asarray(it["gt_boxes"][it["gt_valid"]], np.float32) * sb,
+                    "labels": np.zeros(int(it["gt_valid"].sum()), np.int64),
+                },
+                "pred_instances": {
+                    "bboxes": np.asarray(r["boxes"], np.float32) * sb,
+                    "scores": np.asarray(r["scores"], np.float32),
+                    "labels": np.zeros(len(r["scores"]), np.int64),
+                },
+            }
+            out.append(rec)
+        if out_pkl:
+            save_predictions(out, out_pkl)
+        return out

@@ -52,7 +52,8 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, features: bool = False):
+        """Classifier logits, or (C2, C3, C4, C5) pyramid when features=True."""
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
@@ -61,6 +62,7 @@ class ResNet50(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         planes = 64
+        feats = []
         for li, n_blocks in enumerate(self.stage_sizes):
             for bi in range(n_blocks):
                 stride = 2 if (li > 0 and bi == 0) else 1
@@ -72,6 +74,9 @@ class ResNet50(nn.Module):
                     name=f"layer{li + 1}_{bi}",
                 )(x, train=train)
             planes *= 2
+            feats.append(x)
+        if features:
+            return tuple(feats)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
         return x.astype(jnp.float32)

@@ -1,0 +1,243 @@
+"""Detection subsystem tests: ops goldens, assigners, coco mAP, and a tiny
+end-to-end YOLOv8 train->eval->test run on synthetic bright-square data."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from agenda_tpu.detect.ops import (
+    anchor_points,
+    box_iou,
+    decode_deltas,
+    encode_deltas,
+    grid_anchors,
+    nms,
+    roi_align,
+)
+from agenda_tpu.detect.assign import max_iou_assign, task_aligned_assign
+from agenda_tpu.detect.coco_eval import coco_map
+
+
+def test_nms_golden():
+    boxes = jnp.asarray([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],    # overlaps box 0 heavily
+        [20, 20, 30, 30],
+        [21, 21, 31, 31],  # overlaps box 2
+        [50, 50, 60, 60],
+    ], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.95, 0.3, 0.5])
+    keep, valid = nms(boxes, scores, iou_threshold=0.5)
+    kept = set(np.asarray(keep)[np.asarray(valid)].tolist())
+    assert kept == {0, 2, 4}
+
+    # max_outputs truncation
+    keep, valid = nms(boxes, scores, 0.5, max_outputs=2)
+    kept = np.asarray(keep)[np.asarray(valid)]
+    assert list(kept) == [2, 0]  # score order
+
+    # score_threshold
+    keep, valid = nms(boxes, scores, 0.5, score_threshold=0.6)
+    kept = set(np.asarray(keep)[np.asarray(valid)].tolist())
+    assert kept == {0, 2}
+
+
+def test_delta_codec_roundtrip():
+    anchors = jnp.asarray([[10, 10, 30, 40], [0, 0, 16, 16]], jnp.float32)
+    gt = jnp.asarray([[12, 8, 33, 44], [2, 1, 13, 18]], jnp.float32)
+    d = encode_deltas(anchors, gt)
+    back = decode_deltas(anchors, d)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gt), rtol=1e-4, atol=1e-3)
+    # stds/means round-trip too
+    stds = (0.1, 0.1, 0.2, 0.2)
+    d2 = encode_deltas(anchors, gt, stds=stds)
+    back2 = decode_deltas(anchors, d2, stds=stds)
+    np.testing.assert_allclose(np.asarray(back2), np.asarray(gt), rtol=1e-4, atol=1e-3)
+
+
+def test_grid_anchors_and_points():
+    a = grid_anchors((2, 3), stride=16, scales=[8], ratios=[1.0])
+    assert a.shape == (6, 4)
+    # first anchor centered at (0,0) with size 128
+    np.testing.assert_allclose(a[0], [-64, -64, 64, 64])
+    np.testing.assert_allclose(a[1], [16 - 64, -64, 16 + 64, 64])
+
+    pts, strs = anchor_points([(2, 2), (1, 1)], [8, 16])
+    assert pts.shape == (5, 2)
+    np.testing.assert_allclose(pts[0], [4, 4])
+    np.testing.assert_allclose(pts[-1], [8, 8])
+    np.testing.assert_allclose(strs, [8, 8, 8, 8, 16])
+
+
+def test_roi_align_constant_and_gradient():
+    # Constant feature map -> every RoI bin equals the constant.
+    feat = jnp.full((16, 16, 3), 2.5)
+    rois = jnp.asarray([[2, 2, 10, 10], [0, 0, 15, 15]], jnp.float32)
+    out = roi_align(feat, rois, out_size=4)
+    assert out.shape == (2, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(out), 2.5, rtol=1e-6)
+
+    # Linear ramp in x -> bin means increase monotonically along x.
+    ramp = jnp.broadcast_to(jnp.arange(16.0)[None, :, None], (16, 16, 1))
+    out = roi_align(ramp, jnp.asarray([[0, 0, 16, 16]], jnp.float32), out_size=4)
+    vals = np.asarray(out)[0, 0, :, 0]
+    assert np.all(np.diff(vals) > 0)
+
+
+def test_max_iou_assign():
+    anchors = jnp.asarray([
+        [0, 0, 10, 10],
+        [100, 100, 110, 110],
+        [0, 0, 9, 9],
+        [50, 50, 52, 52],  # tiny, low IoU with everything
+    ], jnp.float32)
+    gt = jnp.asarray([[0, 0, 10, 10], [48, 48, 56, 56], [0, 0, 0, 0]], jnp.float32)
+    valid = jnp.asarray([True, True, False])
+    assigned, labels = max_iou_assign(anchors, gt, valid, pos_thr=0.7, neg_thr=0.3,
+                                      min_pos_iou=0.05)
+    labels = np.asarray(labels)
+    assigned = np.asarray(assigned)
+    assert labels[0] == 1 and assigned[0] == 0       # exact match
+    assert labels[1] == 0                             # far from everything
+    assert labels[3] == 1 and assigned[3] == 1        # GT-rescue for gt 1
+    # padded gt never assigned
+    assert not np.any(assigned == 2)
+
+
+def test_task_aligned_assign_basic():
+    pts, strs = anchor_points([(4, 4)], [8])
+    points = jnp.asarray(pts)
+    n = points.shape[0]
+    gt = jnp.asarray([[4, 4, 20, 20], [0, 0, 0, 0]], jnp.float32)
+    gt_valid = jnp.asarray([True, False])
+    gt_labels = jnp.zeros(2, jnp.int32)
+    # Pretend predictions: boxes centered at the points, high score near gt.
+    boxes = jnp.concatenate([points - 8, points + 8], axis=1)
+    scores = jnp.full((n, 1), 0.9)
+    fg, agt, tsc, albl = task_aligned_assign(scores, boxes, points, gt, gt_labels, gt_valid)
+    fg = np.asarray(fg)
+    # Only points inside the gt box can be foreground.
+    inside = (pts[:, 0] >= 4) & (pts[:, 0] <= 20) & (pts[:, 1] >= 4) & (pts[:, 1] <= 20)
+    assert fg.any()
+    assert not np.any(fg & ~inside)
+    assert np.all(np.asarray(tsc)[fg] > 0)
+
+
+def test_coco_map_perfect_and_empty():
+    gt = [np.array([[0, 0, 10, 10], [20, 20, 30, 30]])]
+    det = [np.array([[0, 0, 10, 10], [20, 20, 30, 30]])]
+    scores = [np.array([0.9, 0.8])]
+    res = coco_map(gt, det, scores)
+    assert res["bbox_mAP"] == 1.0 and res["bbox_mAP_50"] == 1.0
+
+    # Half the detections off target.
+    det2 = [np.array([[0, 0, 10, 10], [50, 50, 60, 60]])]
+    res2 = coco_map(gt, det2, scores)
+    assert 0 < res2["bbox_mAP_50"] < 1.0
+
+    res3 = coco_map([np.zeros((0, 4))], [np.zeros((0, 4))], [np.zeros(0)])
+    assert res3["bbox_mAP"] == -1.0  # CocoMetric convention for no GT
+
+
+def _make_square_dataset(root, n_images=16, size=112, box=40, seed=0):
+    """Bright squares on dark noise; COCO annotations. Default geometry
+    mirrors the real task (42.36px vehicles on 112px tiles)."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations = [], []
+    for i in range(n_images):
+        img = (rng.rand(size, size, 3) * 40).astype(np.uint8)
+        n_obj = rng.randint(1, 3)
+        for j in range(n_obj):
+            x = rng.randint(0, size - box)
+            y = rng.randint(0, size - box)
+            img[y : y + box, x : x + box] = [220, 40, 40]
+            annotations.append({
+                "id": len(annotations), "image_id": i, "category_id": 1,
+                "bbox": [float(x), float(y), float(box), float(box)], "area": float(box * box),
+                "iscrowd": 0,
+            })
+        Image.fromarray(img).save(os.path.join(img_dir, f"{i}.png"))
+        images.append({"id": i, "file_name": f"{i}.png", "width": size, "height": size})
+    coco = {"categories": [{"id": 1, "name": "small"}],
+            "images": images, "annotations": annotations}
+    ann = os.path.join(root, "ann.json")
+    with open(ann, "w") as f:
+        json.dump(coco, f)
+    return ann
+
+
+@pytest.mark.slow
+def test_yolov8_end_to_end_tiny(tmp_path):
+    from agenda_tpu.detect.dataset import CocoDetDataset
+    from agenda_tpu.detect.families import build_family
+    from agenda_tpu.detect.runner import DetectorRunner, RunnerConfig
+    from agenda_tpu.detect.yolov8 import YOLOv8Config
+
+    root = str(tmp_path)
+    _make_square_dataset(root, n_images=12)
+    train_ds = CocoDetDataset(root, "ann.json", img_scale=(64, 64), max_gt=8, train=True)
+    val_ds = CocoDetDataset(root, "ann.json", img_scale=(64, 64), max_gt=8, train=False)
+
+    fam = build_family("yolov8", model=dict(img_size=64, max_gt=8))
+    cfg = RunnerConfig(output_dir=os.path.join(root, "work"), max_epochs=2,
+                       batch_size=2, lr=0.01, val_interval=2, warmup_iters=5,
+                       log_interval=5)
+    runner = DetectorRunner(fam, cfg)
+    variables = runner.train(train_ds, val_ds)
+
+    # loss must be finite and logged
+    lines = open(os.path.join(root, "work", "metrics.jsonl")).read().splitlines()
+    assert lines
+    first = json.loads(lines[0])
+    assert np.isfinite(first["loss"])
+
+    # test() emits reference-format prediction records in 112px coords
+    recs = runner.test(variables, val_ds, out_pkl=os.path.join(root, "pred.pkl"))
+    assert len(recs) == 12
+    r = recs[0]
+    assert set(r["pred_instances"]) == {"bboxes", "scores", "labels"}
+    assert r["gt_instances"]["bboxes"].max() <= 112.01
+    from agenda_tpu.annotate.records import load_predictions
+
+    back = load_predictions(os.path.join(root, "pred.pkl"))
+    assert len(back) == 12
+    # checkpoints written
+    assert os.path.exists(os.path.join(root, "work", "latest.safetensors"))
+
+
+@pytest.mark.slow
+def test_faster_rcnn_end_to_end_tiny(tmp_path):
+    from agenda_tpu.detect.dataset import CocoDetDataset
+    from agenda_tpu.detect.families import build_family
+    from agenda_tpu.detect.runner import DetectorRunner, RunnerConfig
+
+    root = str(tmp_path)
+    _make_square_dataset(root, n_images=8)
+    train_ds = CocoDetDataset(root, "ann.json", img_scale=(64, 64), max_gt=8, train=True)
+    val_ds = CocoDetDataset(root, "ann.json", img_scale=(64, 64), max_gt=8, train=False)
+
+    fam = build_family(
+        "faster-rcnn",
+        model=dict(img_size=64, max_gt=8, nms_pre=256, num_proposals=64,
+                   rpn_sample=64, rcnn_sample=64),
+    )
+    cfg = RunnerConfig(output_dir=os.path.join(root, "work"), max_epochs=1,
+                       batch_size=2, lr=0.01, val_interval=1, warmup_iters=5,
+                       log_interval=2)
+    runner = DetectorRunner(fam, cfg)
+    variables = runner.train(train_ds, val_ds)
+    lines = open(os.path.join(root, "work", "metrics.jsonl")).read().splitlines()
+    m0 = json.loads(lines[0])
+    assert np.isfinite(m0["loss"])
+    assert {"rpn_cls", "rpn_reg", "rcnn_cls", "rcnn_reg"} <= set(m0)
+
+    recs = runner.test(variables, val_ds, out_pkl=os.path.join(root, "frcnn_pred.pkl"))
+    assert len(recs) == 8
+    assert recs[0]["pred_instances"]["bboxes"].shape[1] == 4
