@@ -69,4 +69,18 @@ def build_family(name: str, **kw):
         from agenda_tpu.detect.faster_rcnn import FasterRCNNFamily, FasterRCNNConfig
 
         return FasterRCNNFamily(FasterRCNNConfig(**kw.get("model", {})), **kw.get("predict", {}))
+    if name in ("yolov5", "yolov5m"):
+        from agenda_tpu.detect.yolov5 import YOLOv5Config, YOLOv5Family
+
+        return YOLOv5Family(YOLOv5Config(**kw.get("model", {})), **kw.get("predict", {}))
+    if name == "yolov5s":
+        from agenda_tpu.detect.yolov5 import YOLOv5Config, YOLOv5Family
+
+        mk = dict(depth=0.33, width=0.5)
+        mk.update(kw.get("model", {}))
+        return YOLOv5Family(YOLOv5Config(**mk), **kw.get("predict", {}))
+    if name == "vitdet":
+        from agenda_tpu.detect.vitdet import ViTDetConfig, ViTDetFamily
+
+        return ViTDetFamily(ViTDetConfig(**kw.get("model", {})), **kw.get("predict", {}))
     raise ValueError(f"Unknown detector family: {name}")

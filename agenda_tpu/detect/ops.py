@@ -95,12 +95,14 @@ def encode_deltas(
 ) -> jax.Array:
     ax = (anchors[..., 0] + anchors[..., 2]) * 0.5
     ay = (anchors[..., 1] + anchors[..., 3]) * 0.5
-    aw = anchors[..., 2] - anchors[..., 0]
-    ah = anchors[..., 3] - anchors[..., 1]
+    # Clamp to keep padded/degenerate boxes from producing inf/NaN that would
+    # survive a downstream 0-weight mask (0 * inf = NaN).
+    aw = jnp.maximum(anchors[..., 2] - anchors[..., 0], 1e-4)
+    ah = jnp.maximum(anchors[..., 3] - anchors[..., 1], 1e-4)
     gx = (gt[..., 0] + gt[..., 2]) * 0.5
     gy = (gt[..., 1] + gt[..., 3]) * 0.5
-    gw = gt[..., 2] - gt[..., 0]
-    gh = gt[..., 3] - gt[..., 1]
+    gw = jnp.maximum(gt[..., 2] - gt[..., 0], 1e-4)
+    gh = jnp.maximum(gt[..., 3] - gt[..., 1], 1e-4)
     d = jnp.stack(
         [(gx - ax) / aw, (gy - ay) / ah, jnp.log(gw / aw), jnp.log(gh / ah)], axis=-1
     )

@@ -57,7 +57,9 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = self.kernel // 2
+        # (k-1)//2 matches torch Conv2d padding for both odd and even kernels
+        # (v5's k=6 s=2 stem uses padding 2).
+        pad = (self.kernel - 1) // 2
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=pad,
                     use_bias=False, dtype=self.dtype, name="conv")(x)

@@ -241,3 +241,42 @@ def test_faster_rcnn_end_to_end_tiny(tmp_path):
     recs = runner.test(variables, val_ds, out_pkl=os.path.join(root, "frcnn_pred.pkl"))
     assert len(recs) == 8
     assert recs[0]["pred_instances"]["bboxes"].shape[1] == 4
+
+
+@pytest.mark.slow
+def test_yolov5_and_vitdet_smoke(tmp_path):
+    """Both remaining families: loss step runs, finite, and predict emits
+    static-shape outputs."""
+    import optax
+
+    from agenda_tpu.detect.dataset import CocoDetDataset
+    from agenda_tpu.detect.families import build_family
+
+    root = str(tmp_path)
+    _make_square_dataset(root, n_images=4)
+    ds = CocoDetDataset(root, "ann.json", img_scale=(64, 64), max_gt=8, train=False)
+    batch = {k: jnp.asarray(np.stack([ds[i][k] for i in range(2)]))
+             for k in ("image", "gt_boxes", "gt_valid")}
+
+    for name, model_kw in [
+        ("yolov5s", dict(img_size=64, max_gt=8)),
+        ("vitdet", dict(img_size=64, max_gt=8, embed_dim=64, vit_depth=2, vit_heads=2,
+                        nms_pre=128, num_proposals=32, rpn_sample=32, rcnn_sample=32)),
+    ]:
+        fam = build_family(name, model=model_kw)
+        variables = fam.init_variables(jax.random.key(0))
+
+        def lf(p):
+            loss, (m, bs) = fam.loss_fn(
+                {"params": p, "batch_stats": variables.get("batch_stats", {})},
+                batch, jax.random.key(1))
+            return loss
+
+        loss, grads = jax.value_and_grad(lf)(variables["params"])
+        assert np.isfinite(float(loss)), name
+        gn = float(optax.global_norm(grads))
+        assert np.isfinite(gn) and gn > 0, name
+
+        boxes, scores, valid = jax.jit(fam.predict_fn)(variables, batch["image"])
+        assert boxes.shape[0] == 2 and boxes.shape[2] == 4, name
+        assert np.all(np.isfinite(np.asarray(boxes))), name
