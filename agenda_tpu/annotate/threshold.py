@@ -44,14 +44,18 @@ def match_predictions(
             continue
         order = np.argsort(-scores, kind="stable")
         boxes, scores = boxes[order], scores[order]
-        matched = np.zeros(len(boxes), bool)
-        ious = iou_matrix_xyxy(gt_boxes, boxes)  # (G, P)
-        for gi in range(len(gt_boxes)):
-            cand = (ious[gi] >= iou_thresh) & ~matched
-            if not cand.any():
-                continue
-            pi = int(np.argmax(cand))  # first (highest-score) candidate
-            matched[pi] = True
+        try:
+            from agenda_tpu.detect import native
+
+            matched = native.match_per_gt_greedy(boxes, gt_boxes, iou_thresh)
+        except Exception:
+            matched = np.zeros(len(boxes), bool)
+            ious = iou_matrix_xyxy(gt_boxes, boxes)  # (G, P)
+            for gi in range(len(gt_boxes)):
+                cand = (ious[gi] >= iou_thresh) & ~matched
+                if not cand.any():
+                    continue
+                matched[int(np.argmax(cand))] = True
         all_scores.append(scores)
         all_tp.append(matched)
     if not all_scores:

@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--crop_size", type=int, default=224)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrained_backbone", type=str, default=None,
+                   help="torchvision resnet50 .pth/.safetensors for ImageNet init "
+                        "(the reference uses pretrained=True, refine_label.py:326; "
+                        "zero-egress deployments supply the file explicitly).")
     return p.parse_args(argv)
 
 
@@ -79,6 +83,23 @@ def main(argv=None):
     model, state = init_classifier(jax.random.key(args.seed), tx,
                                    num_classes=args.num_classes,
                                    image_size=args.crop_size)
+    if args.pretrained_backbone:
+        import dataclasses as _dc
+
+        from agenda_tpu.io.resnet_import import load_torchvision_resnet50
+        from flax import traverse_util as _tu
+
+        pre_params, pre_bs = load_torchvision_resnet50(
+            args.pretrained_backbone, num_classes=args.num_classes
+        )
+        flat = _tu.flatten_dict(state.params)
+        flat.update(_tu.flatten_dict(jax.tree.map(jnp.asarray, pre_params)))
+        state = _dc.replace(
+            state,
+            params=_tu.unflatten_dict(flat),
+            batch_stats=jax.tree.map(jnp.asarray, pre_bs),
+        )
+        logger.info("initialized backbone from %s", args.pretrained_backbone)
     train_step = make_classifier_train_step(model, tx)
     predict = make_classifier_predict(model)
 

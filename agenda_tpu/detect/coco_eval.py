@@ -63,6 +63,9 @@ def coco_map(
     iou_thrs = np.asarray(iou_thrs if iou_thrs is not None else IOU_THRS)
     t = len(iou_thrs)
 
+    from agenda_tpu.detect import native
+
+    use_native = native.available()
     all_scores, all_tp = [], []
     n_gt = 0
     for gt, boxes, scores in zip(gt_per_image, det_boxes_per_image, det_scores_per_image):
@@ -70,8 +73,11 @@ def coco_map(
         boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
         scores = np.asarray(scores, np.float64).reshape(-1)
         n_gt += len(gt)
-        tp = _match_image(boxes, scores, gt, iou_thrs, max_dets)
         order = np.argsort(-scores, kind="mergesort")[:max_dets]
+        if use_native:
+            tp = native.match_image_greedy(boxes[order], gt, iou_thrs)
+        else:
+            tp = _match_image(boxes, scores, gt, iou_thrs, max_dets)
         all_scores.append(scores[order])
         all_tp.append(tp)
 

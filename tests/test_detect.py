@@ -280,3 +280,52 @@ def test_yolov5_and_vitdet_smoke(tmp_path):
         boxes, scores, valid = jax.jit(fam.predict_fn)(variables, batch["image"])
         assert boxes.shape[0] == 2 and boxes.shape[2] == 4, name
         assert np.all(np.isfinite(np.asarray(boxes))), name
+
+
+def test_native_matching_parity():
+    """Native C++ kernels must be bit-identical to the numpy references."""
+    from agenda_tpu.detect import native
+    from agenda_tpu.detect.coco_eval import _match_image, IOU_THRS
+
+    assert native.available(), "native lib failed to build"
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        n_det = rng.randint(0, 30)
+        n_gt = rng.randint(0, 10)
+        dets = np.sort(rng.rand(n_det, 2, 2) * 100, axis=1).reshape(-1, 4)
+        dets = dets[:, [0, 2, 1, 3]]  # x1,x2,y1,y2 -> x1,y1,x2,y2 ordering fix
+        dets = np.stack([dets[:, 0], dets[:, 2], dets[:, 1], dets[:, 3]], 1) if n_det else dets
+        gts = np.sort(rng.rand(n_gt, 2, 2) * 100, axis=1).reshape(-1, 4)
+        gts = np.stack([gts[:, 0], gts[:, 2], gts[:, 1], gts[:, 3]], 1) if n_gt else gts
+        scores = -np.arange(n_det, dtype=np.float64)
+
+        ref = _match_image(dets, scores, gts, IOU_THRS, 100)
+        got = native.match_image_greedy(dets, gts, IOU_THRS)
+        np.testing.assert_array_equal(got, ref, err_msg=f"trial {trial}")
+
+        got_gt = native.match_per_gt_greedy(dets, gts, 0.5)
+        from agenda_tpu.annotate.boxes import iou_matrix_xyxy
+        ious = iou_matrix_xyxy(gts, dets)
+        want = np.zeros(n_det, bool)
+        for gi in range(n_gt):
+            cand = (ious[gi] >= 0.5) & ~want
+            if cand.any():
+                want[int(np.argmax(cand))] = True
+        np.testing.assert_array_equal(got_gt, want)
+
+
+def test_native_nms_parity():
+    from agenda_tpu.detect import native
+    from agenda_tpu.detect.ops import nms as jnms
+
+    rng = np.random.RandomState(1)
+    pts = rng.rand(40, 2) * 80
+    boxes = np.concatenate([pts, pts + 10 + rng.rand(40, 2) * 10], axis=1)
+    scores = rng.rand(40)
+    order = np.argsort(-scores)
+    keep_mask = native.nms_sorted(boxes[order], 0.5, 40)
+    native_kept = set(order[keep_mask].tolist())
+
+    keep, valid = jnms(jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32), 0.5)
+    jax_kept = set(np.asarray(keep)[np.asarray(valid)].tolist())
+    assert native_kept == jax_kept

@@ -210,3 +210,73 @@ def test_torch_bin_fallback(tmp_path):
     hs1, _ = m.apply(params, jnp.ones((1, 77), jnp.int32))
     hs2, _ = m.apply(params2, jnp.ones((1, 77), jnp.int32))
     np.testing.assert_allclose(np.asarray(hs1), np.asarray(hs2), rtol=1e-6)
+
+
+def test_torchvision_resnet50_import_structure():
+    """A synthetic torchvision-layout resnet50 state dict must map exactly
+    onto our flax ResNet50 variables (structure + shapes)."""
+    from agenda_tpu.models.resnet import ResNet50
+    from agenda_tpu.io.resnet_import import torchvision_resnet50_to_flax
+
+    m = ResNet50(num_classes=1)
+    var = jax.eval_shape(lambda: m.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), False))
+
+    # Construct a torchvision-style state dict with correct shapes.
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = np.zeros((o, i, k, k), np.float32)
+
+    def bn(name, c):
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{name}.{leaf}"] = np.zeros((c,), np.float32)
+        sd[f"{name}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    cfgs = [(3, 64, 256), (4, 128, 512), (6, 256, 1024), (3, 512, 2048)]
+    in_ch = 64
+    for li, (n, planes, out_ch) in enumerate(cfgs, start=1):
+        for bi in range(n):
+            base = f"layer{li}.{bi}"
+            conv(f"{base}.conv1", planes, in_ch if bi == 0 else out_ch, 1)
+            bn(f"{base}.bn1", planes)
+            conv(f"{base}.conv2", planes, planes, 3)
+            bn(f"{base}.bn2", planes)
+            conv(f"{base}.conv3", out_ch, planes, 1)
+            bn(f"{base}.bn3", out_ch)
+            if bi == 0:
+                conv(f"{base}.downsample.0", out_ch, in_ch, 1)
+                bn(f"{base}.downsample.1", out_ch)
+        in_ch = out_ch
+    sd["fc.weight"] = np.zeros((1000, 2048), np.float32)  # mismatched head: skipped
+    sd["fc.bias"] = np.zeros((1000,), np.float32)
+
+    params, batch_stats = torchvision_resnet50_to_flax(sd, num_classes=1)
+
+    want_p = var["params"]
+    want_b = var["batch_stats"]
+    got_paths = {tuple(k) for k, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+
+    def paths(tree):
+        return {
+            tuple(p.key for p in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    # All mapped params must exist in the model with matching shapes (fc skipped).
+    from flax import traverse_util
+
+    got_flat = traverse_util.flatten_dict(params)
+    want_flat = traverse_util.flatten_dict(want_p)
+    for k, v in got_flat.items():
+        assert k in want_flat, k
+        assert tuple(v.shape) == tuple(want_flat[k].shape), (k, v.shape, want_flat[k].shape)
+    missing = set(want_flat) - set(got_flat)
+    assert missing == {("fc", "kernel"), ("fc", "bias")}, missing
+
+    got_bs = traverse_util.flatten_dict(batch_stats)
+    want_bs = traverse_util.flatten_dict(want_b)
+    assert set(got_bs) == set(want_bs)
+    for k, v in got_bs.items():
+        assert tuple(v.shape) == tuple(want_bs[k].shape), k

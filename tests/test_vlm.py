@@ -1,0 +1,54 @@
+"""VLM baseline: parse/convert math goldens + offline responses-backend run."""
+
+import json
+
+import numpy as np
+
+from agenda_tpu.cli.vlm_baseline import boxes_to_annotations, parse_list_boxes, main
+
+
+def test_parse_list_boxes():
+    text = """Here are the boxes:
+[100, 200, 300, 400]
+[ 50 , 60 , 70 , 80 ]
+garbage line
+[1,2,3]
+[900, 100, 100, 900]"""
+    out = parse_list_boxes(text)
+    assert out == [[100, 200, 300, 400], [50, 60, 70, 80], [1, 2, 3], [900, 100, 100, 900]]
+
+
+def test_boxes_to_annotations_math():
+    # swapped coords get reordered; 0-1000 scaled to 112
+    anns = boxes_to_annotations([[900, 100, 100, 900], [0, 0, 500, 500], [1, 2, 3]],
+                                image_id=7, start_id=3, image_width=112, image_height=112)
+    assert len(anns) == 2  # 3-element box dropped
+    a = anns[0]
+    assert a["image_id"] == 7 and a["id"] == 3
+    x1, y1, w, h = a["bbox"]
+    np.testing.assert_allclose([x1, y1], [100 / 1000 * 112, 100 / 1000 * 112])
+    np.testing.assert_allclose([w, h], [800 / 1000 * 112] * 2)
+    assert anns[1]["id"] == 4
+
+
+def test_offline_responses_backend(tmp_path):
+    gt = {
+        "categories": [{"id": 1, "name": "small"}],
+        "images": [{"id": 0, "file_name": "0.png", "width": 112, "height": 112},
+                   {"id": 1, "file_name": "1.png", "width": 112, "height": 112}],
+        "annotations": [],
+    }
+    (tmp_path / "gt.json").write_text(json.dumps(gt))
+    responses = {"0.png": "[100, 100, 400, 400]\n[500, 500, 800, 800]", "1.png": "no cars"}
+    (tmp_path / "resp.json").write_text(json.dumps(responses))
+
+    pred = main([
+        "--backend", "responses",
+        "--responses_file", str(tmp_path / "resp.json"),
+        "--test_data_base_path", str(tmp_path),
+        "--annotation_file", "gt.json",
+        "--save_path", str(tmp_path / "pred.json"),
+    ])
+    assert len(pred["annotations"]) == 2
+    saved = json.loads((tmp_path / "pred.json").read_text())
+    assert saved["annotations"][0]["image_id"] == 0
