@@ -65,6 +65,16 @@ def main(argv=None):
 
     pipeline = StableDiffusionPipeline.from_pretrained(args.pretrained_model_path)
 
+    # Shard the seed batch across all attached chips (dp mesh); --batch-size
+    # stays per-device, like the trainers.
+    import jax
+
+    if len(jax.devices()) > 1:
+        from agenda_tpu.parallel.mesh import make_mesh
+
+        pipeline.mesh = make_mesh()
+        args.batch_size = args.batch_size * pipeline.mesh.shape["dp"]
+
     embeds_dict = load_learned_embeddings(args.learnable_tokens_embedding_path)
     all_new_tokens = list(embeds_dict.keys())
 

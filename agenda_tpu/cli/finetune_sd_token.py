@@ -206,6 +206,24 @@ def main(argv=None):
             logger.info("Checkpoint '%s' does not exist. Starting a new training run.",
                         args.load_from_checkpoint)
 
+    # Resume (finetune_sd_token.py:913-935 semantics: UNet weights +
+    # learned embeddings + global step from checkpoint-N).
+    initial_step = 0
+    resume_embedding = None
+    if args.resume_from_checkpoint:
+        found = find_resume_checkpoint(args.output_dir, args.resume_from_checkpoint)
+        if found is None:
+            logger.info("Checkpoint '%s' does not exist. Starting a new training run.",
+                        args.resume_from_checkpoint)
+        else:
+            initial_step, rpath = found
+            logger.info("Resuming from checkpoint %s", rpath)
+            unet_cfg, unet_params = load_unet(rpath)
+            bin_path = os.path.join(rpath, f"learned_embeds_steps_{initial_step}.bin")
+            if args.train_token and os.path.exists(bin_path):
+                rd = load_learned_embeddings(bin_path)
+                resume_embedding = np.stack([rd[t] for t in object_tokens])
+
     unet = UNet2DConditionModel(unet_cfg, dtype=compute_dtype,
                                 gradient_checkpointing=args.gradient_checkpointing)
     vae = AutoencoderKL(bundle.vae_config, dtype=compute_dtype)
@@ -239,7 +257,7 @@ def main(argv=None):
         unet_params, tx, args.train_token, args.train_unet, args.train_cross_attn,
         n_tokens=len(object_tokens), hidden_size=text_cfg.hidden_size,
         rng=jax.random.key(seed),
-        init_embedding=None,
+        init_embedding=resume_embedding,
     )
 
     state = replicate(state, mesh)
@@ -324,7 +342,7 @@ def main(argv=None):
                 os.path.join(path, f"learned_embeds_steps_{step}.bin"))
         logger.info("Saved state to %s", path)
 
-    global_step = 0
+    global_step = initial_step
     timer = StepTimer()
     with maybe_profile(args.profile_dir):
         done = False

@@ -68,6 +68,7 @@ class StableDiffusionPipeline:
     scheduler_type: str = "pndm"  # SD-1.x pipeline default
     latent_hw: int = 64  # heatmap aggregation resolution (hook.py:17-19)
     dtype: jnp.dtype = jnp.bfloat16
+    mesh: object = None  # jax.sharding.Mesh: shard the seed batch over "dp"
 
     @classmethod
     def from_pretrained(
@@ -263,6 +264,16 @@ class StableDiffusionPipeline:
             jax.random.normal(jax.random.key(int(s)), (lh, lw, 4), jnp.float32) for s in seeds
         ]
         latents0 = jnp.stack(lat_list)
+
+        if self.mesh is not None:
+            # Shard the seed batch over the dp axis: the jitted sampler then
+            # runs SPMD across the mesh, one CFG pair per chip-group (the
+            # reference's batch-1 python loop parallelized over ICI).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsh = NamedSharding(self.mesh, P("dp"))
+            latents0 = jax.device_put(latents0, bsh)
+            context = jax.device_put(context, bsh)
 
         ts = jnp.asarray(self.timestep_table(num_inference_steps))
         images, heatmaps = self._sample_fn(

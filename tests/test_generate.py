@@ -104,3 +104,21 @@ def test_images_to_uint8():
     out = images_to_uint8(x)
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out[0, 0, 0], [0, 128, 255])
+
+
+def test_sharded_generation_8dev(tiny_pipe):
+    """Seed batch sharded over an 8-device dp mesh must produce the same
+    images as the unsharded path."""
+    from agenda_tpu.parallel.mesh import make_mesh
+
+    prompt = "cars in utah"
+    ref_imgs, ref_heat = tiny_pipe(prompt, seeds=list(range(8)), num_inference_steps=2,
+                                   collect_heatmaps=True, height=64, width=64)
+    tiny_pipe.mesh = make_mesh()
+    try:
+        imgs, heat = tiny_pipe(prompt, seeds=list(range(8)), num_inference_steps=2,
+                               collect_heatmaps=True, height=64, width=64)
+    finally:
+        tiny_pipe.mesh = None
+    np.testing.assert_allclose(imgs, ref_imgs, atol=2e-5)
+    np.testing.assert_allclose(heat, ref_heat, atol=2e-5)
