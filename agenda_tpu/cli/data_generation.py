@@ -52,11 +52,7 @@ def parse_args(argv=None):
 def main(argv=None):
     from PIL import Image
 
-    from agenda_tpu.generate.pipeline import (
-        StableDiffusionPipeline,
-        heatmap_to_uint8,
-        images_to_uint8,
-    )
+    from agenda_tpu.generate.pipeline import StableDiffusionPipeline
     from agenda_tpu.io.learned_embeds import load_learned_embeddings
     from agenda_tpu.utils.profiling import progress
 
@@ -94,33 +90,37 @@ def main(argv=None):
     for word in all_word_token_heatmaps:
         os.makedirs(os.path.join(args.save_dir, f"daam_{word}_heatmaps"), exist_ok=True)
 
-    collect = bool(all_word_token_heatmaps)
+    words = all_word_token_heatmaps or None
     seeds = list(range(args.start_seed, args.start_seed + args.num_images))
     for i in progress(range(0, len(seeds), args.batch_size), desc="generate"):
         batch_seeds = seeds[i : i + args.batch_size]
         # Keep a static batch shape for the compiled sampler: pad the tail.
         padded = batch_seeds + [batch_seeds[-1]] * (args.batch_size - len(batch_seeds))
-        images, heatmaps = pipeline(
+        # Per-word heatmaps come back as normalized uint8 computed on device
+        # (minimal host transfer; identical math to the reference's
+        # normalize->uint8 at data_generation.py:80-84).
+        images, word_maps = pipeline(
             prompt,
             padded,
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale,
-            collect_heatmaps=collect,
             height=args.resolution,
             width=args.resolution,
+            words=words,
+            out_size=args.image_size,
         )
-        images = images_to_uint8(images)
         for j, seed in enumerate(batch_seeds):
-            img = Image.fromarray(images[j]).resize((args.image_size, args.image_size))
+            img = Image.fromarray(images[j])
             if np.max(np.asarray(img)) < 1e-5:
                 # All-black output guard (reference NSFW-filter skip,
                 # data_generation.py:61-62).
                 continue
             img.save(os.path.join(img_dir, f"{seed}.png"))
             for word in all_word_token_heatmaps:
-                wh = pipeline.word_heatmap(heatmaps[j : j + 1], prompt, word)[0]
-                arr = heatmap_to_uint8(wh, args.image_size)
-                Image.fromarray(arr).save(
+                arr = Image.fromarray(word_maps[word][j]).resize(
+                    (args.image_size, args.image_size)
+                )
+                arr.save(
                     os.path.join(args.save_dir, f"daam_{word}_heatmaps", f"{seed}.png")
                 )
 

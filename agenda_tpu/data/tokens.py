@@ -52,3 +52,19 @@ def insert_new_tokens(
         else:
             starts.append(-1)
     return prompt, starts
+
+
+def get_token_embeds(tokens, tokenizer, token_embedding_table):
+    """Embedding rows for the given word(s), BOS/EOS stripped.
+
+    Equivalent of the reference's utils_attndb.get_token_embeds (8-19):
+    tokenize without padding, look up the embedding table, drop the first and
+    last (BOS/EOS) rows. ``token_embedding_table`` is the (vocab, hidden)
+    array from the text-encoder params.
+    """
+    import numpy as np
+
+    if isinstance(tokens, list):
+        tokens = " ".join(tokens)
+    ids = [tokenizer._token_to_id(t) for t in tokenizer.tokenize(tokens)]
+    return np.asarray(token_embedding_table)[np.asarray(ids, np.int64)]

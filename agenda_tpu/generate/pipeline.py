@@ -158,9 +158,12 @@ class StableDiffusionPipeline:
             latents0,  # (B, h, w, 4)
             timesteps,  # (T,) int32
             guidance_scale,  # scalar f32
+            word_index_ids,  # (W, K) int32 token positions per word (or None)
+            word_index_mask,  # (W, K) f32 validity (or None)
             collect_heatmaps: bool,
             scheduler_type: str,
             num_inference_steps: int,
+            out_size: int,  # 0 = native resolution
         ):
             b = latents0.shape[0]
             n_tokens = context.shape[1]
@@ -224,11 +227,52 @@ class StableDiffusionPipeline:
 
             images = vae.apply(vae_params, latents / scaling, method="decode")
             images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
+            if out_size:
+                # Downscale on device (bicubic a=-0.5, PIL-equivalent kernel):
+                # the reference resizes 512 -> 112 on host right after
+                # generation (data_generation.py:60); doing it here shrinks
+                # the device->host image transfer ~20x.
+                images = jnp.clip(
+                    resize_bicubic(
+                        jnp.transpose(images, (0, 3, 1, 2)), out_size, out_size
+                    ),
+                    0.0,
+                    1.0,
+                )
+                images = jnp.transpose(images, (0, 2, 3, 1))
+            # uint8 on device: 4x less device->host traffic (and identical to
+            # the host-side PIL conversion the reference performs).
+            images_u8 = jnp.round(images * 255.0).astype(jnp.uint8)
 
             heatmaps = hsum / jnp.maximum(hcnt, 1.0)  # global mean (hook.py:79)
-            return images, heatmaps
 
-        return jax.jit(sample, static_argnames=("collect_heatmaps", "scheduler_type", "num_inference_steps"))
+            if word_index_ids is not None:
+                # Per-word heatmaps fully on device: mean over the word's token
+                # positions (daam compute_word_heat_map), min-max normalize,
+                # 0-255 uint8 (data_generation.py:74-84). Transfers shrink from
+                # (B,77,64,64) f32 to (B,W,64,64) u8.
+                sel = jnp.take(heatmaps, word_index_ids.reshape(-1), axis=1)
+                sel = sel.reshape(b, *word_index_ids.shape, latent_hw, latent_hw)
+                msum = jnp.maximum(jnp.sum(word_index_mask, axis=-1), 1.0)
+                wmaps = (
+                    jnp.sum(sel * word_index_mask[None, :, :, None, None], axis=2)
+                    / msum[None, :, None, None]
+                )  # (B, W, hw, hw)
+                mn = jnp.min(wmaps, axis=(2, 3), keepdims=True)
+                mx = jnp.max(wmaps, axis=(2, 3), keepdims=True)
+                wmaps = (wmaps - mn) / (mx - mn + 1e-8) * 255.0
+                word_heatmaps_u8 = wmaps.astype(jnp.uint8)
+            else:
+                word_heatmaps_u8 = None
+
+            return images_u8, heatmaps, word_heatmaps_u8
+
+        return jax.jit(
+            sample,
+            static_argnames=(
+                "collect_heatmaps", "scheduler_type", "num_inference_steps", "out_size",
+            ),
+        )
 
     # -- public API ---------------------------------------------------------
 
@@ -247,13 +291,33 @@ class StableDiffusionPipeline:
         negative_prompt: str = "",
         height: int = 512,
         width: int = 512,
+        words: Optional[Sequence[str]] = None,
+        out_size: int = 0,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        """Generate len(seeds) images for one prompt.
+        """Generate len(seeds) images for one prompt. ``out_size`` resizes the
+        decoded images on device before transfer (0 = keep native resolution).
 
-        Returns (images f32 (B, H, W, 3) in [0,1],
+        Returns (images uint8 (B, H, W, 3),
                  heatmaps f32 (B, 77, latent_hw, latent_hw) or None).
+
+        With ``words`` given (implies collect), the second return is instead a
+        dict {word: uint8 (B, latent_hw, latent_hw)} of min-max-normalized
+        per-word heatmaps, fully computed on device (minimal host transfer).
         """
         b = len(seeds)
+        word_ids = word_mask = None
+        if words:
+            collect_heatmaps = True
+            idx_lists = [compute_token_merge_indices(self.tokenizer, prompt, w)[0]
+                         for w in words]
+            k = max(len(x) for x in idx_lists)
+            word_ids = np.zeros((len(words), k), np.int32)
+            word_mask = np.zeros((len(words), k), np.float32)
+            for i, xs in enumerate(idx_lists):
+                word_ids[i, : len(xs)] = xs
+                word_mask[i, : len(xs)] = 1.0
+            word_ids = jnp.asarray(word_ids)
+            word_mask = jnp.asarray(word_mask)
         context_cond = self.encode_prompts([prompt] * b)
         context_uncond = self.encode_prompts([negative_prompt] * b)
         context = jnp.concatenate([context_uncond, context_cond], axis=0)
@@ -276,18 +340,24 @@ class StableDiffusionPipeline:
             context = jax.device_put(context, bsh)
 
         ts = jnp.asarray(self.timestep_table(num_inference_steps))
-        images, heatmaps = self._sample_fn(
+        images, heatmaps, word_maps = self._sample_fn(
             self.unet_params,
             self.vae_params,
             context,
             latents0,
             ts,
             jnp.float32(guidance_scale),
+            word_ids,
+            word_mask,
             collect_heatmaps,
             self.scheduler_type,
             num_inference_steps,
+            out_size,
         )
         images = np.asarray(images)
+        if words:
+            wm = np.asarray(word_maps)
+            return images, {w: wm[:, i] for i, w in enumerate(words)}
         return images, (np.asarray(heatmaps) if collect_heatmaps else None)
 
     # -- heatmap post-processing -------------------------------------------

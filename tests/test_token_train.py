@@ -171,3 +171,56 @@ def test_token_train_step_runs_and_updates_embedding():
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                      state.unet_trainable, state2.unet_trainable)
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_get_token_embeds():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from fixtures import write_tiny_tokenizer
+    import tempfile
+
+    from agenda_tpu.data.tokenizer import CLIPTokenizer
+    from agenda_tpu.data.tokens import get_token_embeds
+
+    d = tempfile.mkdtemp()
+    vocab = write_tiny_tokenizer(d)
+    tok = CLIPTokenizer.from_pretrained(d)
+    table = np.arange(vocab * 4, dtype=np.float32).reshape(vocab, 4)
+    out = get_token_embeds("cars", tok, table)
+    # 'cars' is one merged token in the fixture vocab -> exactly one row,
+    # equal to its table entry (no BOS/EOS rows included).
+    ids = [tok._token_to_id(t) for t in tok.tokenize("cars")]
+    assert out.shape == (1, 4)
+    np.testing.assert_array_equal(out[0], table[ids[0]])
+
+
+def test_gradient_checkpointing_train_step():
+    """remat-wrapped UNet must train identically-shaped and finite."""
+    from agenda_tpu.core.schedules import make_schedule
+    from agenda_tpu.models import (
+        AutoencoderKL, CLIPTextConfig, CLIPTextModel, UNet2DConditionModel,
+        UNetConfig, VAEConfig,
+    )
+    from agenda_tpu.train.finetune_sd import LossConfig, init_train_state, make_train_step
+    from agenda_tpu.train.optim import lr_schedule, make_optimizer
+
+    unet_cfg = UNetConfig.tiny()
+    unet = UNet2DConditionModel(unet_cfg, gradient_checkpointing=True)
+    vae = AutoencoderKL(VAEConfig.tiny())
+    text = CLIPTextModel(CLIPTextConfig.tiny())
+    k = jax.random.key(0)
+    s = unet_cfg.sample_size
+    unet_params = unet.init(k, jnp.zeros((1, s, s, 4)), jnp.array([1]),
+                            jnp.zeros((1, 77, unet_cfg.cross_attention_dim)))
+    vae_params = vae.init(k, jnp.zeros((1, 2 * s, 2 * s, 3)), k)
+    text_params = text.init(k, jnp.ones((1, 77), jnp.int32))
+
+    tx = make_optimizer(lr_schedule("constant", 1e-4, 0, 10))
+    state = init_train_state(unet_params, tx, use_ema=False)
+    step = jax.jit(make_train_step(unet, vae, text, make_schedule(), tx, LossConfig()))
+    batch = {
+        "pixel_values": jnp.zeros((2, 2 * s, 2 * s, 3)),
+        "input_ids": jnp.ones((2, 77), jnp.int32),
+    }
+    state2, metrics = step(state, vae_params, text_params, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
