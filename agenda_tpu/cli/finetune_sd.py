@@ -103,7 +103,7 @@ def main(argv=None):
     from agenda_tpu.core.schedules import make_schedule
     from agenda_tpu.data.datasets import BaseDataset, DataLoader
     from agenda_tpu.data.tokenizer import CLIPTokenizer
-    from agenda_tpu.generate.pipeline import StableDiffusionPipeline, images_to_uint8
+    from agenda_tpu.generate.pipeline import StableDiffusionPipeline
     from agenda_tpu.io.diffusers_io import load_pipeline, save_pipeline
     from agenda_tpu.models import AutoencoderKL, CLIPTextModel, UNet2DConditionModel
     from agenda_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_params_fsdp
@@ -238,7 +238,7 @@ def main(argv=None):
         for prompt in args.validation_prompts:
             imgs, _ = pipe(prompt, seeds=list(range(4)), num_inference_steps=20,
                            height=args.resolution, width=args.resolution)
-            tracker.log_images(f"validation/{prompt}", images_to_uint8(imgs), step)
+            tracker.log_images(f"validation/{prompt}", imgs, step)
 
     global_step = initial_step
     timer = StepTimer()

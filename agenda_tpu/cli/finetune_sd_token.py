@@ -115,7 +115,7 @@ def main(argv=None):
     from agenda_tpu.core.schedules import make_schedule
     from agenda_tpu.data.datasets import DataLoader, TokenDataset
     from agenda_tpu.data.tokenizer import CLIPTokenizer
-    from agenda_tpu.generate.pipeline import StableDiffusionPipeline, images_to_uint8
+    from agenda_tpu.generate.pipeline import StableDiffusionPipeline
     from agenda_tpu.io.diffusers_io import (
         load_pipeline,
         load_unet,
@@ -210,6 +210,7 @@ def main(argv=None):
     # learned embeddings + global step from checkpoint-N).
     initial_step = 0
     resume_embedding = None
+    resume_train_state_path = None
     if args.resume_from_checkpoint:
         found = find_resume_checkpoint(args.output_dir, args.resume_from_checkpoint)
         if found is None:
@@ -223,6 +224,7 @@ def main(argv=None):
             if args.train_token and os.path.exists(bin_path):
                 rd = load_learned_embeddings(bin_path)
                 resume_embedding = np.stack([rd[t] for t in object_tokens])
+            resume_train_state_path = os.path.join(rpath, "train_state")
 
     unet = UNet2DConditionModel(unet_cfg, dtype=compute_dtype,
                                 gradient_checkpointing=args.gradient_checkpointing)
@@ -259,6 +261,16 @@ def main(argv=None):
         rng=jax.random.key(seed),
         init_embedding=resume_embedding,
     )
+    if initial_step and resume_train_state_path and os.path.isdir(resume_train_state_path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(resume_train_state_path),
+            item=jax.eval_shape(lambda: {"opt_state": state.opt_state,
+                                         "step": state.step}),
+        )
+        state = dc.replace(state, opt_state=restored["opt_state"],
+                           step=jnp.asarray(restored["step"], jnp.int32))
 
     state = replicate(state, mesh)
     cast = lambda t: jax.tree.map(lambda x: jnp.asarray(x, compute_dtype), t)
@@ -324,9 +336,13 @@ def main(argv=None):
             imgs, _ = pipe(formatted, seeds=list(range(args.num_validation_images)),
                            num_inference_steps=20,
                            height=args.resolution, width=args.resolution)
-            tracker.log_images(f"validation/{formatted}", images_to_uint8(imgs), step)
+            tracker.log_images(f"validation/{formatted}", imgs, step)
 
     def save_ckpt(step):
+        import shutil
+
+        import orbax.checkpoint as ocp
+
         rotate_checkpoints(args.output_dir, args.checkpoints_total_limit)
         path = os.path.join(args.output_dir, f"checkpoint-{step}")
         unet_dir = os.path.join(path, "unet")
@@ -340,6 +356,15 @@ def main(argv=None):
             save_learned_embeddings(
                 object_tokens, np.asarray(state.embedding),
                 os.path.join(path, f"learned_embeds_steps_{step}.bin"))
+        # Optimizer state + step so resume continues the schedule/moments
+        # (accelerate save_state semantics).
+        ts_path = os.path.join(path, "train_state")
+        if os.path.exists(ts_path):
+            shutil.rmtree(ts_path)
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(ts_path),
+            {"opt_state": state.opt_state, "step": state.step},
+        )
         logger.info("Saved state to %s", path)
 
     global_step = initial_step

@@ -176,8 +176,9 @@ class DataLoader:
                     if stop.is_set():
                         return
                     q.put(_stack([self.dataset[int(i)] for i in b]))
-            finally:
                 q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                q.put(("__error__", e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -186,6 +187,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+                    raise item[1]
                 yield item
         finally:
             stop.set()

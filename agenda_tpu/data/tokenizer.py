@@ -275,19 +275,28 @@ class CLIPTokenizer:
         )
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
-        toks = []
+        """Byte-decode BPE segments, splicing added tokens verbatim."""
         rev_added = {v: k for k, v in self.added_tokens.items()}
+        parts: List[str] = []
+        buf: List[str] = []
+
+        def flush():
+            if buf:
+                seg = bytearray(
+                    [self.byte_decoder[c] for c in "".join(buf) if c in self.byte_decoder]
+                ).decode("utf-8", errors="replace")
+                parts.append(seg.replace("</w>", " "))
+                buf.clear()
+
         for i in ids:
             i = int(i)
             if i in rev_added:
-                toks.append(rev_added[i] + " ")
+                flush()
+                parts.append(rev_added[i] + " ")
                 continue
             t = self.decoder.get(i, "")
             if skip_special_tokens and t in (self.bos_token, self.eos_token, self.pad_token):
                 continue
-            toks.append(t)
-        text = "".join(toks)
-        text = bytearray(
-            [self.byte_decoder[c] for c in text if c in self.byte_decoder]
-        ).decode("utf-8", errors="replace")
-        return text.replace("</w>", " ").strip()
+            buf.append(t)
+        flush()
+        return "".join(parts).strip()

@@ -91,20 +91,22 @@ def random_sample(
     pos_take = jnp.argsort(-pos_rank)[:pos_quota]
     pos_take_valid = pos_rank[pos_take] >= 0
 
-    n_pos = jnp.minimum(n_pos_avail, pos_quota)
-    neg_quota = num - pos_quota  # static upper bound
+    del n_pos_avail
     neg_rank = jnp.where(neg_mask, jax.random.uniform(k_neg, (n,)), -1.0)
-    # Take enough negatives to fill num - n_pos (dynamic) but slot num - pos_quota..
-    # Static approach: take (num - pos_quota) negatives always, plus mark
-    # extra negatives for unfilled positive slots.
-    neg_take = jnp.argsort(-neg_rank)[:num]  # enough candidates
-    # Build final index list: pos slots then neg slots.
+    neg_take = jnp.argsort(-neg_rank)[:num]  # enough candidates for backfill
     fill_neg = num - pos_quota
-    idx = jnp.concatenate([pos_take, neg_take[:fill_neg]])
+    # Unfilled positive-quota slots backfill with extra negatives (mmdet
+    # RandomSampler: negatives top up to num when positives are scarce).
+    extra_negs = neg_take[fill_neg : fill_neg + pos_quota]
+    idx = jnp.concatenate([
+        jnp.where(pos_take_valid, pos_take, extra_negs),
+        neg_take[:fill_neg],
+    ])
     is_pos = jnp.concatenate([pos_take_valid, jnp.zeros(fill_neg, bool)])
-    valid = jnp.concatenate(
-        [pos_take_valid, neg_rank[neg_take[:fill_neg]] >= 0]
-    )
+    valid = jnp.concatenate([
+        pos_take_valid | (neg_rank[extra_negs] >= 0),
+        neg_rank[neg_take[:fill_neg]] >= 0,
+    ])
     return idx, is_pos, valid
 
 

@@ -124,6 +124,8 @@ def preset(
         aug = dict()
     else:
         raise ValueError(f"Unknown stage {stage}")
+    if detector.startswith("yolo"):
+        runner.ema_decay = 0.9998  # mmyolo ExpMomentumEMA momentum=0.0002
     cfg = DetectionConfig(
         detector=detector, train_datasets=train, val_dataset=val,
         test_dataset=test, runner=runner, **aug,

@@ -55,6 +55,9 @@ class CocoDetDataset:
         self.affine_scale = affine_scale
         self.mixup_prob = mixup_prob if train else 0.0
         self.hsv_prob = hsv_prob if train else 0.0
+        # Per-call augmentation entropy: a counter mixed into the seed so the
+        # same index gets DIFFERENT augmentations each epoch (train only).
+        self._aug_calls = 0
 
     def __len__(self):
         return len(self.images)
@@ -132,9 +135,11 @@ class CocoDetDataset:
         return img, boxes
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        rng = np.random.default_rng(
-            abs(hash((index, os.getpid()))) % (2**31) if self.train else index
-        )
+        if self.train:
+            self._aug_calls += 1
+            rng = np.random.default_rng((self._aug_calls * 2654435761 + index) % (2**31))
+        else:
+            rng = np.random.default_rng(index)
         out_w, out_h = self.img_scale
         if self.train and rng.random() < self.mosaic_prob:
             img, boxes = self._mosaic(index, rng)

@@ -47,6 +47,7 @@ class RunnerConfig:
     val_interval: int = 5
     save_best: Tuple[str, ...] = ("bbox_mAP", "bbox_mAP_50")
     clip_grad_norm: Optional[float] = 35.0
+    ema_decay: float = 0.0  # >0 enables EMA eval/checkpointing (mmyolo EMAHook)
     seed: int = 0
     log_interval: int = 20
 
@@ -138,15 +139,24 @@ class DetectorRunner:
             loaded = load_variables(resume)
             params = loaded["params"]
             batch_stats = loaded.get("batch_stats", batch_stats)
+            resume_ema = loaded.get("ema_params")
 
         params = replicate(params, mesh)
         batch_stats = replicate(batch_stats, mesh)
         opt_state = replicate(opt_state, mesh)
+        # EMA shadow only exists when enabled (None = empty pytree: no extra
+        # params-sized copy flows through the jitted step when off).
+        ema_params = None
+        if cfg.ema_decay > 0:
+            src = resume_ema if (resume and "resume_ema" in dir() and resume_ema is not None) else params
+            ema_params = jax.tree.map(lambda x: x, src)
 
         loss_fn = self.family.loss_fn
 
+        ema_decay = cfg.ema_decay
+
         @jax.jit
-        def train_step(params, batch_stats, opt_state, batch, rng, step):
+        def train_step(params, ema_params, batch_stats, opt_state, batch, rng, step):
             rng = jax.random.fold_in(rng, step)
 
             def lf(p):
@@ -158,10 +168,18 @@ class DetectorRunner:
             (loss, (metrics, new_bs)), grads = jax.value_and_grad(lf, has_aux=True)(params)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            if ema_decay > 0:
+                # mmyolo ExpMomentumEMA-style warmup: effective decay ramps in.
+                d = ema_decay * (1.0 - jnp.exp(-(step.astype(jnp.float32) + 1.0) / 2000.0))
+                new_ema = jax.tree.map(
+                    lambda e, p: e * d + (1.0 - d) * p, ema_params, new_params
+                )
+            else:
+                new_ema = ema_params
             metrics = dict(metrics)
             metrics["loss"] = loss
             metrics["grad_norm"] = optax.global_norm(grads)
-            return new_params, new_bs, new_opt, metrics
+            return new_params, new_ema, new_bs, new_opt, metrics
 
         rng = jax.random.key(cfg.seed)
         best: Dict[str, float] = {k: -1.0 for k in cfg.save_best}
@@ -177,8 +195,8 @@ class DetectorRunner:
                      "gt_valid": batch["gt_valid"]},
                     mesh,
                 )
-                params, batch_stats, opt_state, metrics = train_step(
-                    params, batch_stats, opt_state, db, rng, jnp.int32(gstep)
+                params, ema_params, batch_stats, opt_state, metrics = train_step(
+                    params, ema_params, batch_stats, opt_state, db, rng, jnp.int32(gstep)
                 )
                 gstep += 1
                 if gstep % cfg.log_interval == 0 or gstep <= 2:
@@ -190,7 +208,8 @@ class DetectorRunner:
                     logger.info("e%d s%d loss=%.4f lr=%.2e", epoch, gstep,
                                 m["loss"], m["lr"])
             if val_dataset is not None and (epoch + 1) % cfg.val_interval == 0:
-                variables = {"params": params, "batch_stats": batch_stats}
+                eval_params = ema_params if cfg.ema_decay > 0 else params
+                variables = {"params": eval_params, "batch_stats": batch_stats}
                 results = self.evaluate(variables, val_dataset)
                 logger.info("epoch %d val: %s", epoch,
                             {k: round(v, 4) for k, v in results.items()})
@@ -203,12 +222,13 @@ class DetectorRunner:
                             os.path.join(cfg.output_dir, f"best_{key}.safetensors"),
                             variables,
                         )
-            save_variables(
-                os.path.join(cfg.output_dir, "latest.safetensors"),
-                {"params": params, "batch_stats": batch_stats},
-            )
+            latest = {"params": params, "batch_stats": batch_stats}
+            if cfg.ema_decay > 0:
+                latest["ema_params"] = ema_params
+            save_variables(os.path.join(cfg.output_dir, "latest.safetensors"), latest)
         metrics_log.close()
-        return {"params": params, "batch_stats": batch_stats}
+        return {"params": ema_params if cfg.ema_decay > 0 else params,
+                "batch_stats": batch_stats}
 
     # -- evaluation / test --------------------------------------------------
 

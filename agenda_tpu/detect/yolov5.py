@@ -202,11 +202,11 @@ def _level_targets(gt_boxes, gt_valid, anchors_lvl, stride, fsize, ratio_thr):
 
     tmask = jnp.zeros((h, w, a), bool)
     tgt_idx = jnp.full((h, w, a), -1, jnp.int32)
-    # later gts overwrite earlier on conflict (arbitrary, mirrors torch scatter)
+    # max-scatter: non-matching updates contribute -1 (no effect); on conflict
+    # the highest gt index wins (deterministic, order-free).
     tmask = tmask.at[ys, xs, ai].max(upd_ok)
-    tgt_idx = tgt_idx.at[ys, xs, ai].set(jnp.where(upd_ok, gi, tgt_idx[ys, xs, ai]))
-    # ensure unmatched cells stay -1 even after mixed writes
-    tgt_idx = jnp.where(tmask, jnp.maximum(tgt_idx, 0), -1)
+    tgt_idx = tgt_idx.at[ys, xs, ai].max(jnp.where(upd_ok, gi, -1))
+    tgt_idx = jnp.where(tmask, tgt_idx, -1)
     return tmask, tgt_idx
 
 
