@@ -111,6 +111,8 @@ def main(argv=None):
         _write_safetensors(os.path.join(args.checkpoint_save_path, name), flat)
 
     def evaluate():
+        if len(train_x) == 0:
+            return 0.0, 0.0
         preds = []
         for imgs, labels, mask, idx in batches_padded(
             train_x, train_y, args.test_batch_size, False, rng_np
@@ -124,7 +126,7 @@ def main(argv=None):
 
     best_acc = best_f1 = 0.0
     best_state_f1 = state
-    for epoch in range(args.num_epochs):
+    for epoch in range(args.num_epochs if len(train_x) else 0):
         # Random hflip augmentation per epoch (refine_label.py:291).
         aug = crops_to_array(data.train_crops, args.crop_size, hflip_rng=rng_np)
         for imgs, labels, mask, _ in batches_padded(
