@@ -17,11 +17,15 @@ the JSONL tracker with a warning.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from typing import Dict, Optional
 
 import numpy as np
+
+# orbax/absl INFO logs flood training output; keep warnings and errors.
+logging.getLogger("absl").setLevel(logging.WARNING)
 
 
 class Tracker:
