@@ -59,3 +59,18 @@ class StepTimer:
         if len(self.times) < 2:
             return 0.0
         return (len(self.times) - 1) / (self.times[-1] - self.times[0])
+
+
+def image_grid(images, rows: int, cols: int):
+    """Tile (N, H, W, 3) uint8 images into one grid image (PIL).
+
+    Equivalent of the reference's utils_attndb.image_grid (22-29)."""
+    from PIL import Image
+    import numpy as np
+
+    assert len(images) == rows * cols
+    h, w = images[0].shape[:2]
+    grid = Image.new("RGB", (cols * w, rows * h))
+    for i, im in enumerate(images):
+        grid.paste(Image.fromarray(np.asarray(im)), ((i % cols) * w, (i // cols) * h))
+    return grid
