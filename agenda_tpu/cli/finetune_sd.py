@@ -211,7 +211,8 @@ def main(argv=None):
         prediction_type=args.prediction_type,
     )
     step_fn = jax.jit(
-        make_train_step(unet, vae, text_encoder, schedule, tx, loss_cfg, args.use_ema)
+        make_train_step(unet, vae, text_encoder, schedule, tx, loss_cfg, args.use_ema,
+                        gradient_accumulation_steps=args.gradient_accumulation_steps)
     )
 
     tracker = Tracker(os.path.join(args.output_dir, args.logging_dir),
@@ -228,8 +229,13 @@ def main(argv=None):
     def run_validation(step):
         if not args.validation_prompts:
             return
+        # Validation samples from the EMA shadow when enabled — the reference
+        # swaps EMA weights in before log_validation and restores after
+        # (finetune_sd.py:874-894).
+        val_params = (state.ema.params if (args.use_ema and state.ema is not None)
+                      else state.params)
         pipe = StableDiffusionPipeline(
-            unet=unet, unet_params={"params": state.params},
+            unet=unet, unet_params={"params": val_params},
             vae=vae, vae_params=vae_params,
             text_encoder=text_encoder, text_params=text_params,
             tokenizer=tokenizer, schedule=schedule, scheduler_type="pndm",
@@ -240,7 +246,13 @@ def main(argv=None):
                            height=args.resolution, width=args.resolution)
             tracker.log_images(f"validation/{prompt}", imgs, step)
 
+    # global_step counts OPTIMIZER UPDATES, not micro-batches: with
+    # --gradient_accumulation_steps N, N micro-batches advance it by 1, and
+    # checkpoint/validation/max_train_steps cadences are all gated on it
+    # (reference counts sync_gradients steps, finetune_sd.py:761, 830-840).
     global_step = initial_step
+    accum = args.gradient_accumulation_steps
+    micro_in_step = 0
     timer = StepTimer()
     with maybe_profile(args.profile_dir):
         done = False
@@ -254,13 +266,17 @@ def main(argv=None):
                     mesh,
                 )
                 state, metrics = step_fn(state, vae_params, text_params, batch, rng)
+                micro_in_step += 1
+                if micro_in_step < accum:
+                    continue  # mid-accumulation: no optimizer update happened
+                micro_in_step = 0
                 global_step += 1
                 sps = timer.tick()
                 if global_step % 10 == 0 or global_step <= 3:
                     m = {k: float(v) for k, v in metrics.items()}
                     m["lr"] = float(lr_fn(global_step))
                     m["steps_per_sec"] = sps
-                    m["images_per_sec"] = sps * global_bs
+                    m["images_per_sec"] = sps * global_bs * accum
                     tracker.log(m, global_step)
                     logger.info("step %d: loss=%.5f (%.2f img/s)", global_step,
                                 m["loss"], m["images_per_sec"])

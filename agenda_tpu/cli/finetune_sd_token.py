@@ -367,7 +367,12 @@ def main(argv=None):
         )
         logger.info("Saved state to %s", path)
 
+    # global_step counts optimizer updates; with --gradient_accumulation_steps
+    # N every N micro-batches advance it once, and checkpoint/validation/
+    # max_train_steps cadences key off it (finetune_sd_token.py:1095-1110).
     global_step = initial_step
+    accum = args.gradient_accumulation_steps
+    micro_in_step = 0
     timer = StepTimer()
     with maybe_profile(args.profile_dir):
         done = False
@@ -382,6 +387,10 @@ def main(argv=None):
                     mesh,
                 )
                 state, metrics = step_fn(state, vae_params, text_params_dev, batch, rng)
+                micro_in_step += 1
+                if micro_in_step < accum:
+                    continue  # mid-accumulation: no optimizer update happened
+                micro_in_step = 0
                 global_step += 1
                 sps = timer.tick()
                 if global_step % 10 == 0 or global_step <= 3:

@@ -17,8 +17,10 @@ Design (v5e):
 - head_dim is zero-padded to a lane multiple (128) outside the kernels; zero
   columns contribute nothing to QK^T and are sliced off the outputs.
 
-On non-TPU backends the custom_vjp falls back to an XLA einsum backward
-(tests compare the two paths for parity on the real chip).
+On non-TPU backends all three kernels run in Pallas *interpret mode*
+(``pl.pallas_call(..., interpret=True)``): the same kernel code, evaluated
+eagerly — slow, but it means the CPU test suite exercises the exact TPU
+kernel logic (``tests/test_flash.py``) rather than a separate reference path.
 """
 
 from __future__ import annotations
@@ -38,6 +40,12 @@ def _round_up(x: int, m: int) -> int:
 
 def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
+
+
+def _interpret() -> bool:
+    """Run the kernels in Pallas interpret mode off-TPU (exact same kernel
+    code, eager evaluation) so CPU tests cover the real kernels."""
+    return not _on_tpu()
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +139,7 @@ def _flash_fwd_impl(q: jax.Array, k: jax.Array, v: jax.Array):
             bytes_accessed=4 * g * s * dp * q.dtype.itemsize,
             transcendentals=g * s * s,
         ),
+        interpret=_interpret(),
     )(qg, kg, vg)
 
     out4 = jnp.transpose(out[:, :, :d].reshape(b, h, s, d), (0, 2, 1, 3))
@@ -250,6 +259,7 @@ def _flash_bwd_impl(res, g4):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
+        interpret=_interpret(),
     )(*common_in, lse, delta)
     dkg, dvg = dkv
 
@@ -269,6 +279,7 @@ def _flash_bwd_impl(res, g4):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
+        interpret=_interpret(),
     )(*common_in, lse, delta)
 
     def from_g(x):
@@ -291,20 +302,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 def _fwd(q, k, v):
     out, res = _flash_fwd_impl(q, k, v)
     return out, res
-
-
-def _xla_bwd(q4, k4, v4, g):
-    d = q4.shape[-1]
-    scale = 1.0 / (d**0.5)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q4, k4, preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(logits, axis=-1)
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v4.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k4.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q4.astype(jnp.float32)) * scale
-    return dq, dk, dv
 
 
 def _bwd(res, g) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -11,7 +11,8 @@ Parity targets:
 
 The learnable-token splice itself (write trainable embeddings at recorded
 start indices, ``finetune_sd_token.py:1002-1010``) lives in
-``agenda_tpu/train/token_splice.py`` as a vectorized scatter.
+``agenda_tpu/train/finetune_sd_token.py`` (``splice_token_embeddings``) as a
+vectorized scatter.
 """
 
 from __future__ import annotations

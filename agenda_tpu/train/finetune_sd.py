@@ -122,8 +122,15 @@ def make_train_step(
     loss_cfg: LossConfig,
     use_ema: bool = False,
     ema_decay: float = 0.9999,
+    gradient_accumulation_steps: int = 1,
 ) -> Callable:
-    """Build the jit-able (state, frozen_params, batch, rng) -> (state, metrics) step."""
+    """Build the jit-able (state, frozen_params, batch, rng) -> (state, metrics) step.
+
+    With ``gradient_accumulation_steps > 1`` the optimizer is an
+    ``optax.MultiSteps`` wrapper: mid-accumulation micro-steps emit zero
+    updates, and the EMA shadow is only advanced on real optimizer updates
+    (matching diffusers' EMAModel cadence, ``finetune_sd.py:830-836``).
+    """
 
     scaling = vae.config.scaling_factor
 
@@ -150,7 +157,16 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema
         if use_ema and state.ema is not None:
-            new_ema = ema_update(state.ema, new_params, ema_decay)
+            if gradient_accumulation_steps > 1:
+                is_update = ((state.step + 1) % gradient_accumulation_steps) == 0
+                new_ema = jax.lax.cond(
+                    is_update,
+                    lambda e: ema_update(e, new_params, ema_decay),
+                    lambda e: e,
+                    state.ema,
+                )
+            else:
+                new_ema = ema_update(state.ema, new_params, ema_decay)
         new_state = TrainState(
             params=new_params, opt_state=new_opt, step=state.step + 1, ema=new_ema
         )

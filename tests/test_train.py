@@ -86,6 +86,53 @@ def test_train_step_updates_and_is_deterministic(tiny_setup):
     assert all(np.isfinite(losses))
 
 
+def test_gradient_accumulation_semantics(tiny_setup):
+    """With accumulation N, N micro-steps must yield exactly ONE optimizer
+    update and ONE EMA update (reference counts sync_gradients steps,
+    finetune_sd.py:761, 830-840)."""
+    t = tiny_setup
+    schedule = make_schedule()
+    accum = 3
+    tx = make_optimizer(lr_schedule("constant", 1e-3, 0, 100),
+                        gradient_accumulation_steps=accum)
+    state = init_train_state(t["unet_params"], tx, use_ema=True)
+    step_fn = jax.jit(make_train_step(t["unet"], t["vae"], t["text"], schedule, tx,
+                                      LossConfig(), use_ema=True,
+                                      gradient_accumulation_steps=accum))
+    batch = jax.tree.map(jnp.asarray, make_batch(2, t["unet_cfg"].sample_size))
+    rng = jax.random.key(0)
+
+    def max_delta(a, b):
+        return max(jax.tree.leaves(
+            jax.tree.map(lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b)))
+
+    # Micro-steps 1..N-1: params frozen (MultiSteps emits zero updates), EMA
+    # counter must NOT advance.
+    st = state
+    for i in range(accum - 1):
+        st, _ = step_fn(st, t["vae_params"], t["text_params"], batch, rng)
+        assert max_delta(st.params, state.params) == 0.0, f"params moved at micro {i+1}"
+        assert int(st.ema.step) == 0
+    # Micro-step N: one real update.
+    st, _ = step_fn(st, t["vae_params"], t["text_params"], batch, rng)
+    assert max_delta(st.params, state.params) > 0.0
+    assert int(st.ema.step) == 1
+
+    # One more full window -> exactly a second update/EMA step.
+    snap = st
+    for _ in range(accum - 1):
+        st, _ = step_fn(st, t["vae_params"], t["text_params"], batch, rng)
+        assert max_delta(st.params, snap.params) == 0.0
+    st, _ = step_fn(st, t["vae_params"], t["text_params"], batch, rng)
+    assert int(st.ema.step) == 2
+
+    # The lr schedule is driven by UPDATE count: the inner adamw count must
+    # equal 2 after 2*accum micro-steps.
+    counts = [int(x) for x in jax.tree.leaves(st.opt_state)
+              if getattr(x, "shape", None) == () and x.dtype == jnp.int32]
+    assert 2 in counts, counts
+
+
 def test_lr_schedules_golden():
     fn = lr_schedule("constant", 2.0, 0, 100)
     assert float(fn(0)) == 2.0 and float(fn(99)) == 2.0
