@@ -36,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="torch checkpoint (.pth/.safetensors) to initialize "
+                        "from — the reference's load_from COCO init "
+                        "(Real_Source/faster-rcnn.py:37).")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -61,7 +65,9 @@ def main(argv=None):
         val = (DatasetSpec(args.val_root, args.val_ann, args.val_prefix)
                if args.val_root else None)
         cfg = preset(args.preset, args.detector, train, val=val,
-                     output_dir=args.work_dir)
+                     output_dir=args.work_dir, pretrained=args.pretrained)
+    if args.pretrained is not None:
+        cfg.pretrained = args.pretrained
     if args.max_epochs is not None:
         cfg.runner.max_epochs = args.max_epochs
     if args.batch_size is not None:

@@ -1,0 +1,426 @@
+"""Detection train-time augmentation: numpy implementations of the reference's
+mm pipeline transforms.
+
+The reference composes, host-side, per stage (SURVEY.md §2.1; exact recipe in
+``/root/reference/data_annotation/configs/Real_Source/faster-rcnn.py:170-233``
+and the yolo/vitdet variants):
+
+  Mosaic(pad 114) -> RandomAffine(rotate 0, shear 0, scale 1±0.9,
+  translate ±0.1, border -scale/2, fill 114) -> MixUp ->
+  Albu[Blur p=.01, MedianBlur p=.01, ToGray p=.01, CLAHE p=.01] ->
+  (YOLOX|YOLOv5)HSVRandomAug -> RandomFlip(0.5)
+
+plus, for the ViTDet heatmap stage, LSJ: RandomResize(ratio 0.1-2.0,
+keep-ratio) + RandomCrop(absolute 128) + pad 114
+(``Synthetic_Heatmap/001_lsj-100e_LINZ-heatmap.py:36-57``).
+
+All transforms operate on (img float32 HxWx3 in 0..255, boxes (N,4) xyxy
+float32) and take a ``numpy.random.Generator``; they run on the host data
+path (TPU-side work stays pure jit). The geometric transforms carry boxes
+through exactly (corner projection for the affine), so GT stays aligned.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+PAD_VAL = 114.0
+
+
+@dataclasses.dataclass
+class AugConfig:
+    """One stage's train-time augmentation recipe (serializes via asdict)."""
+
+    # mosaic + affine + mixup block (MultiImageMixDataset pipelines)
+    mosaic: bool = False
+    affine_scale: float = 0.9        # scaling_ratio_range = 1 +- affine_scale
+    max_rotate_degree: float = 0.0
+    max_shear_degree: float = 0.0
+    max_translate_ratio: float = 0.1  # mm RandomAffine default
+    mixup_prob: float = 0.0           # yolo: 0.1; mmdet MixUp: 1.0 when present
+    mixup_mosaic_pre: bool = False    # YOLOv5MixUp mixes in a mosaic'd sample
+    # photometric block
+    blur_prob: float = 0.0            # Albu Blur / MedianBlur / ToGray / CLAHE
+    median_blur_prob: float = 0.0     # each p=0.01 in the reference
+    to_gray_prob: float = 0.0
+    clahe_prob: float = 0.0
+    hsv: bool = False                 # (YOLOX|YOLOv5)HSVRandomAug: no prob gate
+    hue_delta: int = 5
+    saturation_delta: int = 30
+    value_delta: int = 30
+    # geometric tail
+    flip_prob: float = 0.5
+    # LSJ (ViTDet heatmap stage) — mutually exclusive with mosaic in practice
+    lsj: bool = False
+    lsj_ratio_range: Tuple[float, float] = (0.1, 2.0)
+
+
+def mix_stage_aug(mixup_prob: float = 1.0, mixup_mosaic_pre: bool = False) -> AugConfig:
+    """The heavy mosaic pipeline (Real_Source all families; Synthetic stages
+    for the yolo families and Synthetic_Target faster-rcnn/vitdet)."""
+    return AugConfig(
+        mosaic=True, affine_scale=0.9, mixup_prob=mixup_prob,
+        mixup_mosaic_pre=mixup_mosaic_pre,
+        blur_prob=0.01, median_blur_prob=0.01, to_gray_prob=0.01,
+        clahe_prob=0.01, hsv=True, flip_prob=0.5,
+    )
+
+
+def plain_aug() -> AugConfig:
+    """resize + flip only (Synthetic_Heatmap faster-rcnn)."""
+    return AugConfig(flip_prob=0.5)
+
+
+def lsj_aug() -> AugConfig:
+    """Large-scale jitter (Synthetic_Heatmap ViTDet LSJ base)."""
+    return AugConfig(lsj=True, flip_prob=0.5)
+
+
+# ---------------------------------------------------------------------------
+# color
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_hsv_cv(img: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RGB (0..255 float) -> OpenCV-convention HSV: h in [0,180), s/v in [0,255]."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    mx = img.max(-1)
+    mn = img.min(-1)
+    diff = mx - mn
+    safe = np.where(diff > 0, diff, 1.0)
+    h = np.zeros_like(mx)
+    h = np.where(mx == r, (g - b) / safe % 6.0, h)
+    h = np.where(mx == g, (b - r) / safe + 2.0, h)
+    h = np.where(mx == b, (r - g) / safe + 4.0, h)
+    h = (h * 30.0) % 180.0
+    s = np.where(mx > 0, diff / np.maximum(mx, 1e-9) * 255.0, 0.0)
+    return h, s, mx
+
+
+def _hsv_cv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    h6 = (h / 30.0) % 6.0
+    s1 = s / 255.0
+    c = v * s1
+    x = c * (1.0 - np.abs(h6 % 2.0 - 1.0))
+    m = v - c
+    z = np.zeros_like(c)
+    i = h6.astype(np.int32)
+    r = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [c, x, z, z, x], c)
+    g = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [x, c, c, x, z], z)
+    b = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [z, z, x, c, c], x)
+    return np.stack([r + m, g + m, b + m], axis=-1)
+
+
+def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
+               hue_delta: int = 5, saturation_delta: int = 30,
+               value_delta: int = 30) -> np.ndarray:
+    """YOLOXHSVRandomAug: uniform gains on cv2-convention HSV channels, hue
+    wraps mod 180, s/v clip to 0..255 (mmdet YOLOXHSVRandomAug semantics)."""
+    gains = rng.uniform(-1, 1, 3) * np.array(
+        [hue_delta, saturation_delta, value_delta], np.float32
+    )
+    h, s, v = _rgb_to_hsv_cv(img)
+    h = (h + gains[0]) % 180.0
+    s = np.clip(s + gains[1], 0, 255)
+    v = np.clip(v + gains[2], 0, 255)
+    return np.clip(_hsv_cv_to_rgb(h, s, v), 0, 255).astype(np.float32)
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """Albu ToGray: ITU-R 601 luma replicated to 3 channels."""
+    y = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    return np.repeat(y[..., None], 3, axis=-1).astype(np.float32)
+
+
+def _odd_kernel(rng: np.random.Generator, lo: int = 3, hi: int = 7) -> int:
+    return int(rng.integers(lo // 2, hi // 2 + 1)) * 2 + 1
+
+
+def blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Albu Blur: box filter, odd kernel in [3,7], reflect-101 borders."""
+    k = _odd_kernel(rng)
+    p = k // 2
+    padded = np.pad(img, ((p, p), (p, p), (0, 0)), mode="reflect")
+    out = np.zeros_like(img)
+    for dy in range(k):
+        for dx in range(k):
+            out += padded[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+    return (out / (k * k)).astype(np.float32)
+
+
+def median_blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Albu MedianBlur: odd kernel in [3,7]."""
+    k = _odd_kernel(rng)
+    p = k // 2
+    padded = np.pad(img, ((p, p), (p, p), (0, 0)), mode="reflect")
+    windows = np.stack(
+        [padded[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+         for dy in range(k) for dx in range(k)],
+        axis=0,
+    )
+    return np.median(windows, axis=0).astype(np.float32)
+
+
+def clahe(img: np.ndarray, clip_limit: float = 4.0,
+          grid: Tuple[int, int] = (8, 8)) -> np.ndarray:
+    """CLAHE on the luminance channel, RGB rescaled by the luma gain.
+
+    The reference's Albu CLAHE (p=0.01) runs cv2 CLAHE on LAB-L; this is the
+    same clipped tile-histogram equalization applied in luma space (a
+    documented approximation — identical contrast behavior, marginally
+    different chroma handling at this low probability).
+    """
+    h, w = img.shape[:2]
+    y = np.clip(0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2], 0, 255)
+    yi = y.astype(np.uint8)
+    gh, gw = grid
+    # tile edges (cv2 pads to multiples; we use uneven integer tiles)
+    ys = np.linspace(0, h, gh + 1).astype(int)
+    xs = np.linspace(0, w, gw + 1).astype(int)
+    luts = np.zeros((gh, gw, 256), np.float32)
+    for i in range(gh):
+        for j in range(gw):
+            tile = yi[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+            hist = np.bincount(tile.ravel(), minlength=256).astype(np.float32)
+            n = tile.size
+            clip = max(1.0, clip_limit * n / 256.0)
+            excess = np.maximum(hist - clip, 0).sum()
+            hist = np.minimum(hist, clip) + excess / 256.0
+            cdf = np.cumsum(hist)
+            luts[i, j] = cdf / max(cdf[-1], 1.0) * 255.0
+    # bilinear interpolation between the 4 surrounding tile LUTs
+    cy = (ys[:-1] + ys[1:]) / 2.0
+    cx = (xs[:-1] + xs[1:]) / 2.0
+    py = np.interp(np.arange(h), cy, np.arange(gh))
+    px = np.interp(np.arange(w), cx, np.arange(gw))
+    y0 = np.floor(py).astype(int)
+    x0 = np.floor(px).astype(int)
+    y1 = np.minimum(y0 + 1, gh - 1)
+    x1 = np.minimum(x0 + 1, gw - 1)
+    fy = (py - y0)[:, None]
+    fx = (px - x0)[None, :]
+    idx = yi
+    v00 = luts[y0[:, None], x0[None, :], idx]
+    v01 = luts[y0[:, None], x1[None, :], idx]
+    v10 = luts[y1[:, None], x0[None, :], idx]
+    v11 = luts[y1[:, None], x1[None, :], idx]
+    y_eq = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx) + v11 * fy * fx)
+    gain = y_eq / np.maximum(y, 1e-3)
+    return np.clip(img * gain[..., None], 0, 255).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+
+def random_affine(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    rng: np.random.Generator,
+    out_size: Tuple[int, int],
+    max_rotate_degree: float = 0.0,
+    max_shear_degree: float = 0.0,
+    scaling_ratio_range: Tuple[float, float] = (0.1, 1.9),
+    max_translate_ratio: float = 0.1,
+    border_val: float = PAD_VAL,
+    min_bbox_size: float = 2.0,
+    max_aspect_ratio: float = 20.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """mm RandomAffine: rotate/shear about the input center, uniform scale,
+    translation jitter of ±max_translate_ratio x output size; boxes projected
+    by their 4 corners, clipped, then filtered by min size and aspect ratio
+    (``Real_Source/faster-rcnn.py:215-222`` parameters).
+
+    The input is typically the 2x mosaic canvas; ``out_size`` = img_scale, so
+    the border term of the mm config (-scale/2) is implied by the center
+    mapping.
+    """
+    out_w, out_h = out_size
+    in_h, in_w = img.shape[:2]
+
+    theta = math.radians(rng.uniform(-max_rotate_degree, max_rotate_degree))
+    scale = rng.uniform(*scaling_ratio_range)
+    shear_x = math.tan(math.radians(rng.uniform(-max_shear_degree, max_shear_degree)))
+    shear_y = math.tan(math.radians(rng.uniform(-max_shear_degree, max_shear_degree)))
+    tx = rng.uniform(-max_translate_ratio, max_translate_ratio) * out_w
+    ty = rng.uniform(-max_translate_ratio, max_translate_ratio) * out_h
+
+    def mat(a, b, c, d, e, f):
+        return np.array([[a, b, c], [d, e, f], [0, 0, 1]], np.float64)
+
+    center_in = mat(1, 0, -in_w / 2.0, 0, 1, -in_h / 2.0)
+    rot = mat(math.cos(theta), -math.sin(theta), 0, math.sin(theta), math.cos(theta), 0)
+    sc = mat(scale, 0, 0, 0, scale, 0)
+    sh = mat(1, shear_x, 0, shear_y, 1, 0)
+    center_out = mat(1, 0, out_w / 2.0 + tx, 0, 1, out_h / 2.0 + ty)
+    m = center_out @ sh @ rot @ sc @ center_in  # input -> output
+
+    inv = np.linalg.inv(m)
+    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    warped = pil.transform(
+        (out_w, out_h), Image.AFFINE,
+        data=tuple(inv[:2].ravel()),
+        resample=Image.BILINEAR,
+        fillcolor=(int(border_val),) * 3,
+    )
+    out = np.asarray(warped, np.float32)
+
+    if len(boxes) == 0:
+        return out, boxes
+    corners = np.stack([
+        boxes[:, [0, 1]], boxes[:, [2, 1]], boxes[:, [0, 3]], boxes[:, [2, 3]]
+    ], axis=1)  # (N, 4, 2)
+    ones = np.ones((*corners.shape[:2], 1), np.float64)
+    proj = np.concatenate([corners, ones], axis=-1) @ m.T
+    pts = proj[..., :2]
+    new = np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=-1).astype(np.float32)
+    new[:, 0::2] = new[:, 0::2].clip(0, out_w)
+    new[:, 1::2] = new[:, 1::2].clip(0, out_h)
+    w = new[:, 2] - new[:, 0]
+    h = new[:, 3] - new[:, 1]
+    ar = np.maximum(w / np.maximum(h, 1e-6), h / np.maximum(w, 1e-6))
+    keep = (w > min_bbox_size) & (h > min_bbox_size) & (ar <= max_aspect_ratio)
+    return out, new[keep]
+
+
+def mosaic(
+    load_fn,
+    index: int,
+    n_total: int,
+    rng: np.random.Generator,
+    img_scale: Tuple[int, int],
+    pad_val: float = PAD_VAL,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """mm Mosaic: 2x canvas filled with pad_val, random center in
+    [0.5, 1.5] x img_scale, 4 resized images packed against the center
+    (``Real_Source/faster-rcnn.py:209-213``). ``load_fn(i)`` -> (img, boxes)
+    at img_scale resolution."""
+    out_w, out_h = img_scale
+    canvas = np.full((out_h * 2, out_w * 2, 3), pad_val, np.float32)
+    cx = int(rng.uniform(0.5 * out_w, 1.5 * out_w))
+    cy = int(rng.uniform(0.5 * out_h, 1.5 * out_h))
+    idxs = [index] + [int(rng.integers(n_total)) for _ in range(3)]
+    all_boxes = []
+    # quadrant extents on the canvas, anchored at the random center
+    regions = [
+        (max(cx - out_w, 0), max(cy - out_h, 0), cx, cy),               # top-left
+        (cx, max(cy - out_h, 0), min(cx + out_w, out_w * 2), cy),       # top-right
+        (max(cx - out_w, 0), cy, cx, min(cy + out_h, out_h * 2)),       # bottom-left
+        (cx, cy, min(cx + out_w, out_w * 2), min(cy + out_h, out_h * 2)),
+    ]
+    anchors = [(1, 1), (0, 1), (1, 0), (0, 0)]  # which image corner touches center
+    for k, ((x1, y1, x2, y2), (ax, ay)) in enumerate(zip(regions, anchors)):
+        img, boxes = load_fn(idxs[k])
+        rw, rh = x2 - x1, y2 - y1
+        if rw <= 0 or rh <= 0:
+            continue
+        # crop the image region adjacent to the center anchor
+        sx = out_w - rw if ax else 0
+        sy = out_h - rh if ay else 0
+        canvas[y1:y2, x1:x2] = img[sy : sy + rh, sx : sx + rw]
+        if len(boxes):
+            b = boxes + np.array([x1 - sx, y1 - sy, x1 - sx, y1 - sy], np.float32)
+            b[:, 0::2] = b[:, 0::2].clip(x1, x2)
+            b[:, 1::2] = b[:, 1::2].clip(y1, y2)
+            ok = (b[:, 2] - b[:, 0] > 1) & (b[:, 3] - b[:, 1] > 1)
+            if ok.any():
+                all_boxes.append(b[ok])
+    boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
+    return canvas, boxes
+
+
+def mixup(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    img2: np.ndarray,
+    boxes2: np.ndarray,
+    rng: np.random.Generator,
+    ratio_range: Tuple[float, float] = (0.5, 1.5),
+    flip_ratio: float = 0.5,
+    pad_val: float = PAD_VAL,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """YOLOX-style MixUp: the retrieved image is jitter-resized, optionally
+    flipped, pasted on a pad_val canvas of the primary size, then blended
+    0.5/0.5 and the GT sets concatenated (mmdet MixUp semantics)."""
+    h, w = img.shape[:2]
+    jit = rng.uniform(*ratio_range)
+    scale = min(h / img2.shape[0], w / img2.shape[1]) * jit
+    nw, nh = max(1, int(img2.shape[1] * scale)), max(1, int(img2.shape[0] * scale))
+    resized = np.asarray(
+        Image.fromarray(np.clip(img2, 0, 255).astype(np.uint8)).resize(
+            (nw, nh), Image.BILINEAR),
+        np.float32,
+    )
+    b2 = boxes2 * scale if len(boxes2) else boxes2
+    if rng.random() < flip_ratio:
+        resized = resized[:, ::-1]
+        if len(b2):
+            b2 = np.stack([nw - b2[:, 2], b2[:, 1], nw - b2[:, 0], b2[:, 3]], axis=1)
+    canvas = np.full((h, w, 3), pad_val, np.float32)
+    ch, cw = min(nh, h), min(nw, w)
+    canvas[:ch, :cw] = resized[:ch, :cw]
+    if len(b2):
+        b2 = b2.copy()
+        b2[:, 0::2] = b2[:, 0::2].clip(0, cw)
+        b2[:, 1::2] = b2[:, 1::2].clip(0, ch)
+        ok = (b2[:, 2] - b2[:, 0] > 1) & (b2[:, 3] - b2[:, 1] > 1)
+        b2 = b2[ok]
+    mixed = (img * 0.5 + canvas * 0.5).astype(np.float32)
+    out_boxes = np.concatenate([boxes, b2]) if len(b2) else boxes
+    return mixed, out_boxes
+
+
+def lsj(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    rng: np.random.Generator,
+    out_size: Tuple[int, int],
+    ratio_range: Tuple[float, float] = (0.1, 2.0),
+    pad_val: float = PAD_VAL,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Large-scale jitter: RandomResize(keep-ratio, ratio 0.1-2.0) +
+    RandomCrop(absolute out_size, negative allowed) + FilterAnnotations +
+    Pad(114) (``Synthetic_Heatmap/001_lsj-100e_LINZ-heatmap.py:36-57``)."""
+    out_w, out_h = out_size
+    h, w = img.shape[:2]
+    ratio = rng.uniform(*ratio_range)
+    scale = min(out_h / h, out_w / w) * ratio
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    img = np.asarray(
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).resize(
+            (nw, nh), Image.BILINEAR),
+        np.float32,
+    )
+    if len(boxes):
+        boxes = boxes * scale
+    # random crop of out_size (if the resized image is smaller, keep it all)
+    x0 = int(rng.integers(0, max(1, nw - out_w + 1)))
+    y0 = int(rng.integers(0, max(1, nh - out_h + 1)))
+    img = img[y0 : y0 + out_h, x0 : x0 + out_w]
+    if len(boxes):
+        boxes = boxes - np.array([x0, y0, x0, y0], np.float32)
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, img.shape[1])
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, img.shape[0])
+        keep = (boxes[:, 2] - boxes[:, 0] > 1e-2) & (boxes[:, 3] - boxes[:, 1] > 1e-2)
+        boxes = boxes[keep]
+    # pad bottom-right to out_size
+    if img.shape[0] != out_h or img.shape[1] != out_w:
+        canvas = np.full((out_h, out_w, 3), pad_val, np.float32)
+        canvas[: img.shape[0], : img.shape[1]] = img
+        img = canvas
+    return img, boxes
+
+
+def flip_horizontal(img: np.ndarray, boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    w = img.shape[1]
+    img = img[:, ::-1]
+    if len(boxes):
+        boxes = np.stack([w - boxes[:, 2], boxes[:, 1], w - boxes[:, 0], boxes[:, 3]], axis=1)
+    return np.ascontiguousarray(img), boxes

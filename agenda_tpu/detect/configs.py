@@ -2,20 +2,25 @@
 
 The reference drives 4 detector families through 3 pipeline stages with
 mm-style ``_base_``-inherited python configs (``data_annotation/configs/
-{Real_Source,Synthetic_Heatmap,Synthetic_Target}/*.py``). Here each stage is
-an explicit dataclass preset (SURVEY.md §7 "configs become dataclasses"):
+{Real_Source,Synthetic_Heatmap,Synthetic_Target}/*.py``). Here each
+(stage, family) cell is an explicit preset carrying the reference's OWN
+hyperparameters (batch size / lr / optimizer / epochs / val cadence /
+augmentation recipe — see ``HYPERPARAMS`` below, values cited per file), so a
+parity run needs no user reconstruction. Everything serializes to/from JSON
+(``det_train.py --config run.json``).
 
-- ``real_source``: train on real source tiles with the heavy aug pipeline
-  (Mosaic/MixUp/flip — faster-rcnn.py:170-233), COCO-pretrained init when
-  weights are supplied, SGD lr 0.2, bs 64, 1000 epochs;
-- ``synthetic_heatmap``: train on synthetic heatmap stacks with pseudo
-  annotations, plain resize+flip, lr 0.02, 500 epochs;
-- ``synthetic_target``: final model on synthetic-target RGB (refined
-  pseudo-ann) + without-cars negatives, val/test on real target, bs 256,
-  1000 epochs.
+Augmentation recipes per stage (``agenda_tpu/detect/augment.py``):
+- heavy "mix" (Mosaic/RandomAffine/MixUp/Albu/HSV/flip): Real_Source all
+  families; Synthetic stages for the yolo families; Synthetic_Target
+  faster-rcnn + vitdet (each config's train_pipeline composes
+  mosaic_affine_transform — e.g. ``Real_Source/faster-rcnn.py:208-233``);
+- LSJ: Synthetic_Heatmap ViTDet (``001_lsj-100e_LINZ-heatmap.py:36-57``);
+- plain resize+flip: Synthetic_Heatmap faster-rcnn
+  (``Synthetic_Heatmap/faster-rcnn.py:156-162``).
 
-Everything serializes to/from JSON so runs are reproducible from a single
-file (``det_train.py --config run.json``).
+``pretrained`` mirrors each config's ``load_from`` COCO-checkpoint init
+(``Real_Source/faster-rcnn.py:37``): it names a local torch checkpoint file
+imported via ``agenda_tpu/io/torch_import.py`` (zero-egress: no downloads).
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ import dataclasses
 import json
 from typing import Any, Dict, List, Optional, Tuple
 
+from agenda_tpu.detect.augment import AugConfig, lsj_aug, mix_stage_aug, plain_aug
 from agenda_tpu.detect.runner import RunnerConfig
 
 
@@ -36,7 +42,7 @@ class DatasetSpec:
 
 @dataclasses.dataclass
 class DetectionConfig:
-    detector: str = "yolov8"  # yolov8 | yolov8s | faster-rcnn
+    detector: str = "yolov8"  # yolov8 | yolov8s | yolov5 | faster-rcnn | vitdet
     model: Dict[str, Any] = dataclasses.field(default_factory=dict)
     predict: Dict[str, Any] = dataclasses.field(default_factory=dict)
     train_datasets: List[DatasetSpec] = dataclasses.field(default_factory=list)
@@ -44,11 +50,11 @@ class DetectionConfig:
     test_dataset: Optional[DatasetSpec] = None
     img_scale: Tuple[int, int] = (128, 128)
     max_gt: int = 64
-    # augmentation (Real_Source stage turns these on)
-    mosaic_prob: float = 0.0
-    mixup_prob: float = 0.0
-    hsv_prob: float = 0.0
     flip_prob: float = 0.5
+    aug: AugConfig = dataclasses.field(default_factory=AugConfig)
+    # Path to a torch checkpoint (mmdet/mmyolo/torchvision .pth) to initialize
+    # from — the reference's `load_from` (Real_Source/faster-rcnn.py:37).
+    pretrained: Optional[str] = None
     runner: RunnerConfig = dataclasses.field(default_factory=RunnerConfig)
 
     def to_json(self, path: str) -> None:
@@ -65,9 +71,22 @@ class DetectionConfig:
             if d.get(k):
                 d[k] = DatasetSpec(**d[k])
         d["img_scale"] = tuple(d.get("img_scale", (128, 128)))
+        if "aug" in d:
+            a = d["aug"]
+            a["lsj_ratio_range"] = tuple(a.get("lsj_ratio_range", (0.1, 2.0)))
+            d["aug"] = AugConfig(**a)
+        # round-1 compat: old float-prob fields map onto an AugConfig
+        legacy = {k: d.pop(k) for k in ("mosaic_prob", "mixup_prob", "hsv_prob")
+                  if k in d}
+        if legacy and "aug" not in d:
+            d["aug"] = AugConfig(
+                mosaic=legacy.get("mosaic_prob", 0) > 0,
+                mixup_prob=legacy.get("mixup_prob", 0.0),
+                hsv=legacy.get("hsv_prob", 0) > 0,
+            )
         return cls(**d)
 
-    # -- dataset/famiy builders --------------------------------------------
+    # -- dataset/family builders --------------------------------------------
 
     def build_family(self):
         from agenda_tpu.detect.families import build_family
@@ -80,12 +99,12 @@ class DetectionConfig:
     def build_train_dataset(self):
         from agenda_tpu.detect.dataset import CocoDetDataset, ConcatDataset
 
+        aug = dataclasses.replace(self.aug, flip_prob=self.flip_prob) \
+            if self.flip_prob != self.aug.flip_prob else self.aug
         parts = [
             CocoDetDataset(
                 s.data_root, s.ann_file, s.data_prefix, self.img_scale, self.max_gt,
-                flip_prob=self.flip_prob, train=True,
-                mosaic_prob=self.mosaic_prob, mixup_prob=self.mixup_prob,
-                hsv_prob=self.hsv_prob,
+                train=True, aug=aug,
             )
             for s in self.train_datasets
         ]
@@ -100,6 +119,59 @@ class DetectionConfig:
         )
 
 
+# Per-(stage, family) hyperparameters, read off the reference configs
+# (file:line citations inline). bs = train_batch_size_per_gpu.
+HYPERPARAMS: Dict[Tuple[str, str], Dict[str, Any]] = {
+    # Real_Source: faster-rcnn.py:22-24,377-379; yolov5.py:28-37;
+    # yolov8.py:19,29,31; vitdet.py:22,28,335-339
+    ("real_source", "faster-rcnn"): dict(bs=64, lr=0.2, opt="sgd", epochs=1000,
+                                         val_interval=1, aug="mix"),
+    ("real_source", "yolov5"): dict(bs=200, lr=0.01, opt="sgd", epochs=1000,
+                                    val_interval=1, aug="mix", yolo_mixup=True),
+    ("real_source", "yolov8"): dict(bs=512, lr=0.001, opt="sgd", epochs=1000,
+                                    val_interval=1, aug="mix", yolo_mixup=True),
+    ("real_source", "vitdet"): dict(bs=24, lr=0.001, opt="adamw", epochs=100,
+                                    val_interval=1, aug="mix"),
+    # Synthetic_Heatmap: faster-rcnn.py:19-21,279; yolov5.py:32-42;
+    # yolov8.py:19,29,31; 001_lsj base: 29-33,148-152
+    ("synthetic_heatmap", "faster-rcnn"): dict(bs=96, lr=0.02, opt="sgd",
+                                               epochs=500, val_interval=2,
+                                               aug="plain"),
+    ("synthetic_heatmap", "yolov5"): dict(bs=96, lr=1e-4, opt="sgd", epochs=500,
+                                          val_interval=2, aug="mix",
+                                          yolo_mixup=True),
+    ("synthetic_heatmap", "yolov8"): dict(bs=192, lr=1e-4, opt="sgd", epochs=500,
+                                          val_interval=2, aug="mix",
+                                          yolo_mixup=True),
+    ("synthetic_heatmap", "vitdet"): dict(bs=48, lr=1e-4, opt="adamw",
+                                          weight_decay=0.1, epochs=100,
+                                          val_interval=1, aug="lsj"),
+    # Synthetic_Target: faster-rcnn.py:17-18,388-390; yolov5.py:24-33;
+    # yolov8.py:19,29,31; vitdet.py:17,23,327-329
+    ("synthetic_target", "faster-rcnn"): dict(bs=256, lr=0.02, opt="sgd",
+                                              epochs=1000, val_interval=5,
+                                              aug="mix"),
+    ("synthetic_target", "yolov5"): dict(bs=512, lr=1e-4, opt="sgd", epochs=500,
+                                         val_interval=1, aug="mix",
+                                         yolo_mixup=True),
+    ("synthetic_target", "yolov8"): dict(bs=1024, lr=0.001, opt="sgd",
+                                         epochs=1000, val_interval=1, aug="mix",
+                                         yolo_mixup=True),
+    ("synthetic_target", "vitdet"): dict(bs=24, lr=1e-4, opt="adamw", epochs=100,
+                                         val_interval=1, aug="mix"),
+}
+
+
+def _family_key(detector: str) -> str:
+    if detector.startswith("yolov8"):
+        return "yolov8"
+    if detector.startswith("yolov5"):
+        return "yolov5"
+    if detector.startswith("vitdet"):
+        return "vitdet"
+    return "faster-rcnn"
+
+
 def preset(
     stage: str,
     detector: str,
@@ -107,28 +179,39 @@ def preset(
     val: Optional[DatasetSpec] = None,
     test: Optional[DatasetSpec] = None,
     output_dir: str = "work_dirs/run",
+    pretrained: Optional[str] = None,
     **overrides,
 ) -> DetectionConfig:
-    """Stage presets mirroring the reference's per-stage hyperparameters."""
-    if stage == "real_source":
-        runner = RunnerConfig(output_dir=output_dir, max_epochs=1000, batch_size=8,
-                              lr=0.2, optimizer="sgd", val_interval=5)
-        aug = dict(mosaic_prob=0.8, mixup_prob=0.3, hsv_prob=0.5)
-    elif stage == "synthetic_heatmap":
-        runner = RunnerConfig(output_dir=output_dir, max_epochs=500, batch_size=8,
-                              lr=0.02, optimizer="sgd", val_interval=5)
-        aug = dict()
-    elif stage == "synthetic_target":
-        runner = RunnerConfig(output_dir=output_dir, max_epochs=1000, batch_size=32,
-                              lr=0.02, optimizer="sgd", val_interval=5)
-        aug = dict()
-    else:
-        raise ValueError(f"Unknown stage {stage}")
+    """Stage x family presets carrying the reference's hyperparameters."""
+    key = (stage, _family_key(detector))
+    if key not in HYPERPARAMS:
+        raise ValueError(f"Unknown stage/family {key}; stages: "
+                         f"{sorted(set(k[0] for k in HYPERPARAMS))}")
+    hp = HYPERPARAMS[key]
+    runner = RunnerConfig(
+        output_dir=output_dir,
+        max_epochs=hp["epochs"],
+        batch_size=hp["bs"],
+        lr=hp["lr"],
+        optimizer=hp["opt"],
+        weight_decay=hp.get("weight_decay", 1e-4 if hp["opt"] == "sgd" else 0.05),
+        val_interval=hp["val_interval"],
+    )
     if detector.startswith("yolo"):
         runner.ema_decay = 0.9998  # mmyolo ExpMomentumEMA momentum=0.0002
+    recipe = hp["aug"]
+    if recipe == "mix":
+        # yolo families mix in a mosaic'd sample at prob 0.1 (YOLOv5MixUp);
+        # mmdet MixUp (faster-rcnn/vitdet pipelines) always mixes a raw one.
+        aug = mix_stage_aug(mixup_prob=0.1, mixup_mosaic_pre=True) \
+            if hp.get("yolo_mixup") else mix_stage_aug(mixup_prob=1.0)
+    elif recipe == "lsj":
+        aug = lsj_aug()
+    else:
+        aug = plain_aug()
     cfg = DetectionConfig(
         detector=detector, train_datasets=train, val_dataset=val,
-        test_dataset=test, runner=runner, **aug,
+        test_dataset=test, runner=runner, aug=aug, pretrained=pretrained,
     )
     for k, v in overrides.items():
         setattr(cfg, k, v)

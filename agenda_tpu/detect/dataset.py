@@ -1,11 +1,14 @@
 """COCO detection dataset + augmentation for the detector trainers.
 
-Replaces mmdet's ``CocoDataset`` + train pipeline for the reference's
-configs (``configs/Real_Source/faster-rcnn.py``): images resized to
-``img_scale`` (128x128 over the 112x112 aerial tiles), random flip, and —
-for the Real_Source stage — Mosaic / RandomAffine / MixUp / HSV / blur-style
-photometric aug done host-side in numpy (the Synthetic stages use only
-resize+flip, matching the config diffs in SURVEY.md §2.1).
+Replaces mmdet's ``CocoDataset`` + train pipelines for the reference's
+configs: images resized to ``img_scale`` (128x128 over the 112x112 aerial
+tiles), and a per-stage ``AugConfig`` recipe (``agenda_tpu/detect/augment.py``)
+reproducing the mm transforms host-side in numpy —
+Mosaic / RandomAffine / MixUp / Albu-photometric / HSV / flip for the heavy
+stages, LSJ for the ViTDet heatmap stage, plain resize+flip otherwise
+(stage->recipe matrix in ``configs.py``, mirroring the reference config
+diffs: ``Real_Source/faster-rcnn.py:170-233``,
+``Synthetic_Heatmap/001_lsj-100e_LINZ-heatmap.py:36-57``).
 
 Batches carry GT padded to ``max_gt`` with a validity mask so the jitted
 train step sees static shapes. ``ConcatDataset`` mirrors the final stage's
@@ -22,6 +25,20 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
+from agenda_tpu.detect.augment import (
+    AugConfig,
+    blur,
+    clahe,
+    flip_horizontal,
+    hsv_jitter,
+    lsj,
+    median_blur,
+    mixup,
+    mosaic,
+    random_affine,
+    to_gray,
+)
+
 
 class CocoDetDataset:
     def __init__(
@@ -33,10 +50,7 @@ class CocoDetDataset:
         max_gt: int = 64,
         flip_prob: float = 0.5,
         train: bool = True,
-        mosaic_prob: float = 0.0,
-        affine_scale: Tuple[float, float] = (0.5, 1.5),
-        mixup_prob: float = 0.0,
-        hsv_prob: float = 0.0,
+        aug: Optional[AugConfig] = None,
     ):
         self.data_root = data_root
         self.img_dir = os.path.join(data_root, data_prefix)
@@ -49,12 +63,9 @@ class CocoDetDataset:
         self.anns_by_img = anns_by_img
         self.img_scale = img_scale
         self.max_gt = max_gt
-        self.flip_prob = flip_prob if train else 0.0
         self.train = train
-        self.mosaic_prob = mosaic_prob if train else 0.0
-        self.affine_scale = affine_scale
-        self.mixup_prob = mixup_prob if train else 0.0
-        self.hsv_prob = hsv_prob if train else 0.0
+        self.aug = (aug if aug is not None else AugConfig(flip_prob=flip_prob)) if train \
+            else AugConfig(flip_prob=0.0)
         # Per-call augmentation entropy: a counter mixed into the seed so the
         # same index gets DIFFERENT augmentations each epoch (train only).
         self._aug_calls = 0
@@ -84,55 +95,20 @@ class CocoDetDataset:
             boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
         return img, boxes
 
-    def _hsv_jitter(self, img, rng):
-        # YOLOXHSVRandomAug-style gains.
-        import colorsys  # noqa: F401  (documentation only; vector math below)
+    def _load_scaled(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        img, boxes = self._load_raw(index)
+        return self._resize(img, boxes, *self.img_scale)
 
-        dh = rng.uniform(-5, 5)
-        ds = rng.uniform(-30, 30)
-        dv = rng.uniform(-30, 30)
-        x = img / 255.0
-        mx = x.max(-1)
-        mn = x.min(-1)
-        # cheap HSV-ish jitter in RGB space: scale value + saturation.
-        v = np.clip(mx * 255 + dv, 0, 255) / 255.0
-        scale_s = np.clip((mx - mn) * 255 + ds, 0, 255) / np.maximum((mx - mn) * 255, 1)
-        mean = x.mean(-1, keepdims=True)
-        x = np.clip((x - mean) * scale_s[..., None] + mean, 0, 1)
-        x = x * np.where(mx[..., None] > 0, (v / np.maximum(mx, 1e-6))[..., None], 1.0)
-        del dh
-        return np.clip(x * 255.0, 0, 255)
-
-    def _mosaic(self, index: int, rng) -> Tuple[np.ndarray, np.ndarray]:
-        """4-image mosaic at 2x scale then random-crop back (Mosaic+Affine-lite)."""
-        out_w, out_h = self.img_scale
-        canvas = np.zeros((out_h * 2, out_w * 2, 3), np.float32)
-        all_boxes = []
-        idxs = [index] + [int(rng.integers(len(self))) for _ in range(3)]
-        for k, (ox, oy) in enumerate([(0, 0), (out_w, 0), (0, out_h), (out_w, out_h)]):
-            img, boxes = self._load_raw(idxs[k])
-            img, boxes = self._resize(img, boxes, out_w, out_h)
-            canvas[oy : oy + out_h, ox : ox + out_w] = img
-            if len(boxes):
-                all_boxes.append(boxes + np.array([ox, oy, ox, oy], np.float32))
-        boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
-        # Random scale + crop back to img_scale (RandomAffine-lite).
-        s = rng.uniform(*self.affine_scale)
-        cw, ch = int(out_w * 2 * s), int(out_h * 2 * s)
-        canvas, boxes = self._resize(canvas, boxes, cw, ch)
-        x0 = int(rng.integers(0, max(1, cw - out_w)))
-        y0 = int(rng.integers(0, max(1, ch - out_h)))
-        img = canvas[y0 : y0 + out_h, x0 : x0 + out_w]
-        if img.shape[0] != out_h or img.shape[1] != out_w:
-            img, boxes = self._resize(img, boxes, out_w, out_h)
-            x0 = y0 = 0
-        if len(boxes):
-            boxes = boxes - np.array([x0, y0, x0, y0], np.float32)
-            boxes[:, 0::2] = boxes[:, 0::2].clip(0, out_w)
-            boxes[:, 1::2] = boxes[:, 1::2].clip(0, out_h)
-            keep = (boxes[:, 2] - boxes[:, 0] > 2) & (boxes[:, 3] - boxes[:, 1] > 2)
-            boxes = boxes[keep]
-        return img, boxes
+    def _mosaic_affine(self, index: int, rng) -> Tuple[np.ndarray, np.ndarray]:
+        a = self.aug
+        img, boxes = mosaic(self._load_scaled, index, len(self), rng, self.img_scale)
+        return random_affine(
+            img, boxes, rng, self.img_scale,
+            max_rotate_degree=a.max_rotate_degree,
+            max_shear_degree=a.max_shear_degree,
+            scaling_ratio_range=(1 - a.affine_scale, 1 + a.affine_scale),
+            max_translate_ratio=a.max_translate_ratio,
+        )
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         if self.train:
@@ -140,27 +116,47 @@ class CocoDetDataset:
             rng = np.random.default_rng((self._aug_calls * 2654435761 + index) % (2**31))
         else:
             rng = np.random.default_rng(index)
+        a = self.aug
         out_w, out_h = self.img_scale
-        if self.train and rng.random() < self.mosaic_prob:
-            img, boxes = self._mosaic(index, rng)
-            if rng.random() < self.mixup_prob:
-                img2, boxes2 = self._mosaic(int(rng.integers(len(self))), rng)
-                r = 0.5
-                img = img * r + img2 * (1 - r)
-                boxes = np.concatenate([boxes, boxes2])
-        else:
+        skip_tail_flip = False
+
+        if self.train and a.mosaic:
+            img, boxes = self._mosaic_affine(index, rng)
+            if rng.random() < a.mixup_prob:
+                j = int(rng.integers(len(self)))
+                if a.mixup_mosaic_pre:  # YOLOv5MixUp: retrieved sample is mosaic'd
+                    img2, boxes2 = self._mosaic_affine(j, rng)
+                else:  # mmdet MixUp: raw retrieved sample
+                    img2, boxes2 = self._load_scaled(j)
+                img, boxes = mixup(img, boxes, img2, boxes2, rng)
+        elif self.train and a.lsj:
+            # LSJ pipeline order: flip BEFORE resize/crop
+            # (001_lsj-100e_LINZ-heatmap.py:42-57).
             img, boxes = self._load_raw(index)
-            img, boxes = self._resize(img, boxes, out_w, out_h)
+            if rng.random() < a.flip_prob:
+                img, boxes = flip_horizontal(img, boxes)
+            img, boxes = lsj(img, boxes, rng, self.img_scale,
+                             ratio_range=a.lsj_ratio_range)
+            skip_tail_flip = True
+        else:
+            img, boxes = self._load_scaled(index)
 
-        if self.train and self.hsv_prob > 0 and rng.random() < self.hsv_prob:
-            img = self._hsv_jitter(img, rng)
-
-        if self.train and rng.random() < self.flip_prob:
-            img = img[:, ::-1]
-            if len(boxes):
-                x1 = out_w - boxes[:, 2]
-                x2 = out_w - boxes[:, 0]
-                boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
+        if self.train:
+            # Albu photometric block, then HSV — last_transform order
+            # (Real_Source/faster-rcnn.py:181-195).
+            if a.blur_prob > 0 and rng.random() < a.blur_prob:
+                img = blur(img, rng)
+            if a.median_blur_prob > 0 and rng.random() < a.median_blur_prob:
+                img = median_blur(img, rng)
+            if a.to_gray_prob > 0 and rng.random() < a.to_gray_prob:
+                img = to_gray(img)
+            if a.clahe_prob > 0 and rng.random() < a.clahe_prob:
+                img = clahe(img)
+            if a.hsv:
+                img = hsv_jitter(img, rng, a.hue_delta, a.saturation_delta,
+                                 a.value_delta)
+            if not skip_tail_flip and rng.random() < a.flip_prob:
+                img, boxes = flip_horizontal(img, boxes)
 
         gt = np.zeros((self.max_gt, 4), np.float32)
         valid = np.zeros(self.max_gt, bool)
@@ -175,7 +171,7 @@ class CocoDetDataset:
         sx = info.get("width", out_w) / out_w
         sy = info.get("height", out_h) / out_h
         return {
-            "image": (img / 255.0).astype(np.float32),
+            "image": (np.ascontiguousarray(img) / 255.0).astype(np.float32),
             "gt_boxes": gt,
             "gt_valid": valid,
             "image_id": np.int32(info["id"]),
