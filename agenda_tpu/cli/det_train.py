@@ -84,7 +84,7 @@ def main(argv=None):
     runner = DetectorRunner(family, cfg.runner)
     train_ds = cfg.build_train_dataset()
     val_ds = cfg.build_eval_dataset(cfg.val_dataset) if cfg.val_dataset else None
-    runner.train(train_ds, val_ds, resume=args.resume)
+    runner.train(train_ds, val_ds, resume=args.resume, pretrained=cfg.pretrained)
 
 
 if __name__ == "__main__":

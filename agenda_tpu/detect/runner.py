@@ -118,7 +118,18 @@ class DetectorRunner:
 
     # -- training -----------------------------------------------------------
 
-    def train(self, train_dataset, val_dataset=None, resume: Optional[str] = None):
+    def _import_key(self) -> str:
+        """Family key for the torch-checkpoint importer, from the family class."""
+        name = type(self.family).__name__
+        return {
+            "FasterRCNNFamily": "faster-rcnn",
+            "YOLOv5Family": "yolov5",
+            "YOLOv8Family": "yolov8",
+            "ViTDetFamily": "vitdet",
+        }.get(name, name.lower())
+
+    def train(self, train_dataset, val_dataset=None, resume: Optional[str] = None,
+              pretrained: Optional[str] = None):
         from agenda_tpu.data.datasets import DataLoader
         from agenda_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
@@ -131,15 +142,48 @@ class DetectorRunner:
         tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
 
         variables = self.family.init_variables(jax.random.key(cfg.seed))
+        if pretrained:
+            # COCO/ImageNet init from a torch checkpoint — the reference's
+            # `load_from` (Real_Source/faster-rcnn.py:37).
+            from agenda_tpu.io.torch_import import (
+                import_detector_weights,
+                load_torch_checkpoint,
+            )
+
+            sd = load_torch_checkpoint(pretrained)
+            variables, report = import_detector_weights(variables, sd, self._import_key())
+            logger.info("pretrained init from %s: %d tensors imported, %d "
+                        "head tensors shape-skipped", pretrained,
+                        len(report.imported), len(report.skipped_shape))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = tx.init(params)
         start_epoch = 0
+        gstep = 0
+        resume_ema = None
         if resume:
             loaded = load_variables(resume)
             params = loaded["params"]
             batch_stats = loaded.get("batch_stats", batch_stats)
             resume_ema = loaded.get("ema_params")
+            # Full mmengine-style resume: optimizer moments + epoch/step
+            # counters ride in an orbax dir next to the weights.
+            ts_path = os.path.join(os.path.dirname(os.path.abspath(resume)),
+                                   "train_state")
+            if os.path.isdir(ts_path):
+                import orbax.checkpoint as ocp
+
+                abstract = jax.eval_shape(
+                    lambda: {"opt_state": opt_state, "epoch": 0, "gstep": 0})
+                restored = ocp.PyTreeCheckpointer().restore(ts_path, item=abstract)
+                opt_state = restored["opt_state"]
+                start_epoch = int(restored["epoch"]) + 1
+                gstep = int(restored["gstep"])
+                logger.info("resumed optimizer/epoch state: epoch %d, step %d",
+                            start_epoch, gstep)
+            else:
+                logger.info("no train_state next to %s: weights-only resume",
+                            resume)
 
         params = replicate(params, mesh)
         batch_stats = replicate(batch_stats, mesh)
@@ -148,8 +192,8 @@ class DetectorRunner:
         # params-sized copy flows through the jitted step when off).
         ema_params = None
         if cfg.ema_decay > 0:
-            src = resume_ema if (resume and "resume_ema" in dir() and resume_ema is not None) else params
-            ema_params = jax.tree.map(lambda x: x, src)
+            src = resume_ema if resume_ema is not None else params
+            ema_params = replicate(jax.tree.map(jnp.asarray, src), mesh)
 
         loss_fn = self.family.loss_fn
 
@@ -184,7 +228,6 @@ class DetectorRunner:
         rng = jax.random.key(cfg.seed)
         best: Dict[str, float] = {k: -1.0 for k in cfg.save_best}
         timer = StepTimer()
-        gstep = 0
         metrics_log = open(os.path.join(cfg.output_dir, "metrics.jsonl"), "a")
         import json as _json
 
@@ -226,9 +269,23 @@ class DetectorRunner:
             if cfg.ema_decay > 0:
                 latest["ema_params"] = ema_params
             save_variables(os.path.join(cfg.output_dir, "latest.safetensors"), latest)
+            self._save_train_state(opt_state, epoch, gstep)
         metrics_log.close()
         return {"params": ema_params if cfg.ema_decay > 0 else params,
                 "batch_stats": batch_stats}
+
+    def _save_train_state(self, opt_state, epoch: int, gstep: int) -> None:
+        """Optimizer moments + epoch/step counters (mmengine resume parity)."""
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(self.cfg.output_dir), "train_state")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ocp.PyTreeCheckpointer().save(
+            path, {"opt_state": jax.tree.map(np.asarray, opt_state),
+                   "epoch": epoch, "gstep": gstep})
 
     # -- evaluation / test --------------------------------------------------
 

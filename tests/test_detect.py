@@ -329,3 +329,52 @@ def test_native_nms_parity():
     keep, valid = jnms(jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32), 0.5)
     jax_kept = set(np.asarray(keep)[np.asarray(valid)].tolist())
     assert native_kept == jax_kept
+
+
+@pytest.mark.slow
+def test_runner_resume_restores_full_state(tmp_path):
+    """Kill-and-resume: optimizer moments, epoch/step counters and the EMA
+    shadow all restore (mmengine resume=True parity,
+    Real_Source/faster-rcnn.py:375-397)."""
+    from agenda_tpu.detect.dataset import CocoDetDataset
+    from agenda_tpu.detect.families import build_family
+    from agenda_tpu.detect.runner import DetectorRunner, RunnerConfig, load_variables
+
+    root = str(tmp_path)
+    _make_square_dataset(root, n_images=8)
+    train_ds = CocoDetDataset(root, "ann.json", img_scale=(64, 64), max_gt=8, train=True)
+    work = os.path.join(root, "work")
+
+    def make_runner(max_epochs):
+        fam = build_family("yolov8", model=dict(img_size=64, max_gt=8))
+        cfg = RunnerConfig(output_dir=work, max_epochs=max_epochs, batch_size=2,
+                           lr=0.01, val_interval=100, warmup_iters=2,
+                           log_interval=1, ema_decay=0.999)
+        return DetectorRunner(fam, cfg)
+
+    make_runner(2).train(train_ds)  # "killed" after 2 epochs
+    assert os.path.isdir(os.path.join(work, "train_state"))
+    latest = load_variables(os.path.join(work, "latest.safetensors"))
+    assert "ema_params" in latest
+
+    import orbax.checkpoint as ocp
+    raw = ocp.PyTreeCheckpointer().restore(os.path.join(work, "train_state"))
+    # global batch = per-device bs x n_devices (8-device CPU mesh in tests)
+    steps_per_epoch = max(1, 8 // (2 * jax.device_count()))
+    assert int(raw["epoch"]) == 1
+    assert int(raw["gstep"]) == 2 * steps_per_epoch
+    # optimizer moments are real (nonzero) arrays
+    moments = [np.asarray(x) for x in jax.tree.leaves(raw["opt_state"])
+               if getattr(x, "ndim", 0) > 0]
+    assert any(np.abs(m).sum() > 0 for m in moments)
+
+    # resume for 2 more epochs: training continues from epoch 2
+    make_runner(4).train(train_ds, resume=os.path.join(work, "latest.safetensors"))
+    epochs_logged = [json.loads(l)["epoch"]
+                     for l in open(os.path.join(work, "metrics.jsonl"))
+                     if "epoch" in json.loads(l) and "step" in json.loads(l)]
+    assert 2 in epochs_logged and 3 in epochs_logged
+    assert 0 in epochs_logged  # first run's logs kept (append mode)
+    raw2 = ocp.PyTreeCheckpointer().restore(os.path.join(work, "train_state"))
+    assert int(raw2["epoch"]) == 3
+    assert int(raw2["gstep"]) == 4 * steps_per_epoch
