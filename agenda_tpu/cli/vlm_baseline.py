@@ -18,6 +18,16 @@ deployment, so the backend is pluggable:
   run offline and makes the published VLM precision/recall rows reproducible
   from response dumps.
 
+``--model_format`` selects the per-model response conventions, which differ
+subtly across the three reference scripts:
+
+- ``gemini``   — boxes ``[y1, x1, y2, x2]``, normalized /1000
+  (``test_gemini.py:78-83``);
+- ``internvl`` — boxes ``[x1, y1, x2, y2]``, normalized /1000
+  (``test_internvl.py:74-80``);
+- ``deepseek`` — boxes ``[x1, y1, x2, y2]``, normalized /999
+  (``test_deepseek.py:110-116``).
+
 The box-parsing and COCO-emission math is the reference's, unit-tested
 offline (tests/test_vlm.py).
 """
@@ -43,9 +53,29 @@ def parse_args(argv=None):
     p.add_argument("--save_path", type=str, default="annotations_vlm.json")
     p.add_argument("--image_width", type=int, default=112)
     p.add_argument("--image_height", type=int, default=112)
-    p.add_argument("--prompt", type=str,
-                   default="Detect the 2d bounding boxes of all the cars.")
-    return p.parse_args(argv)
+    p.add_argument("--model_format", type=str, default="gemini",
+                   choices=["gemini", "internvl", "deepseek"],
+                   help="Response conventions of the queried model "
+                        "(box order + normalization denominator).")
+    p.add_argument("--prompt", type=str, default=None,
+                   help="Override the per-model default prompt.")
+    args = p.parse_args(argv)
+    if args.prompt is None:
+        args.prompt = {
+            "gemini": "Detect the 2d bounding boxes of all the cars.",
+            "internvl": "Please provide the bounding box coordinate of all "
+                        "cars in the image using the format [x1, y1, x2, y2].",
+            "deepseek": "<|ref|>Cars.<|/ref|>.",
+        }[args.model_format]
+    return args
+
+
+# (box order, normalization denominator) per reference script
+MODEL_FORMATS = {
+    "gemini": ("yxyx", 1000.0),
+    "internvl": ("xyxy", 1000.0),
+    "deepseek": ("xyxy", 999.0),
+}
 
 
 def parse_list_boxes(text: str) -> List[List[int]]:
@@ -63,23 +93,28 @@ def parse_list_boxes(text: str) -> List[List[int]]:
 def boxes_to_annotations(
     boxes: List[List[int]], image_id: int, start_id: int,
     image_width: int, image_height: int,
+    order: str = "yxyx", denom: float = 1000.0,
 ) -> List[dict]:
-    """0-1000-normalized [y1,x1,y2,x2] -> COCO xywh annotations
-    (test_gemini.py:75-93 math, including the min/max swap)."""
+    """Normalized model boxes -> COCO xywh annotations, including the
+    min/max swap (test_gemini.py:75-93; internvl/deepseek differ only in
+    box order and denominator — see MODEL_FORMATS)."""
     anns = []
     object_id = start_id
     for bbox in boxes:
         if len(bbox) != 4:
             continue
-        y1, x1, y2, x2 = bbox
+        if order == "yxyx":
+            y1, x1, y2, x2 = bbox
+        else:
+            x1, y1, x2, y2 = bbox
         if y1 > y2:
             y1, y2 = y2, y1
         if x1 > x2:
             x1, x2 = x2, x1
-        y1 = y1 / 1000 * image_height
-        x1 = x1 / 1000 * image_width
-        y2 = y2 / 1000 * image_height
-        x2 = x2 / 1000 * image_width
+        y1 = y1 / denom * image_height
+        x1 = x1 / denom * image_width
+        y2 = y2 / denom * image_height
+        x2 = x2 / denom * image_width
         w, h = x2 - x1, y2 - y1
         anns.append({
             "iscrowd": 0,
@@ -133,11 +168,12 @@ def main(argv=None):
         "images": list(gt["images"]),
         "annotations": [],
     }
+    order, denom = MODEL_FORMATS[args.model_format]
     for image_ann in gt["images"]:
         boxes = parse_list_boxes(query(image_ann))
         pred["annotations"] += boxes_to_annotations(
             boxes, image_ann["id"], len(pred["annotations"]),
-            args.image_width, args.image_height,
+            args.image_width, args.image_height, order=order, denom=denom,
         )
 
     with open(args.save_path, "w") as f:

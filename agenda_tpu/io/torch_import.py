@@ -242,6 +242,7 @@ def _map_vitdet(mods: List[str]) -> Optional[Path]:
             "ln1": "norm1", "norm1": "norm1",
             "ln2": "norm2", "norm2": "norm2",
             "attn.qkv": "qkv", "attn.proj": "proj",
+            "attn.rel_pos_h": "rel_pos_h", "attn.rel_pos_w": "rel_pos_w",
             "mlp.fc1": "fc1", "mlp.lin1": "fc1", "ffn.layers.0.0": "fc1",
             "mlp.fc2": "fc2", "mlp.lin2": "fc2", "ffn.layers.1": "fc2",
         }
@@ -334,8 +335,9 @@ def import_detector_weights(
         leaf = parts[-1]
         if leaf == "num_batches_tracked":
             continue
+        special = key.endswith("pos_embed") or leaf in ("rel_pos_h", "rel_pos_w")
         if leaf not in ("weight", "bias", "running_mean", "running_var") \
-                and not key.endswith("pos_embed"):
+                and not special:
             report.unmatched.append(key)
             continue
         mods = parts[:-1] if leaf in ("weight", "bias", "running_mean",
@@ -345,13 +347,25 @@ def import_detector_weights(
             report.unmatched.append(key)
             continue
 
-        if key.endswith("pos_embed"):
-            col, tpath = "params", path[:-1] + (path[-1],)
+        if special:
+            col, tpath = "params", path
             tgt = flat.get(col, {}).get(tpath)
             if tgt is None:
                 report.missing_target.append(key)
                 continue
-            flat[col][tpath] = _resize_pos_embed(arr, tgt.shape)
+            if key.endswith("pos_embed"):
+                val = _resize_pos_embed(arr, tgt.shape)
+            else:  # rel_pos tables: linear-interp along the length axis
+                val = arr.astype(np.float32)
+                if val.shape[0] != tgt.shape[0]:
+                    xs = np.linspace(0, val.shape[0] - 1, tgt.shape[0])
+                    val = np.stack(
+                        [np.interp(xs, np.arange(val.shape[0]), val[:, c])
+                         for c in range(val.shape[1])], axis=1)
+            if tuple(val.shape) != tuple(tgt.shape):
+                report.skipped_shape.append((key, tuple(val.shape), tuple(tgt.shape)))
+                continue
+            flat[col][tpath] = val
             report.imported.append(key)
             report.filled.add((col,) + tpath)
             continue

@@ -260,7 +260,10 @@ def test_yolov5_and_vitdet_smoke(tmp_path):
 
     for name, model_kw in [
         ("yolov5s", dict(img_size=64, max_gt=8)),
+        # window 2 on the 4x4 tiny grid: exercises partition/unpartition +
+        # rel-pos without padding a 4x4 grid up to the full 14px window
         ("vitdet", dict(img_size=64, max_gt=8, embed_dim=64, vit_depth=2, vit_heads=2,
+                        window_size=2, window_block_indexes=(0,), drop_path_rate=0.1,
                         nms_pre=128, num_proposals=32, rpn_sample=32, rcnn_sample=32)),
     ]:
         fam = build_family(name, model=model_kw)

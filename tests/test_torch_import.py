@@ -310,6 +310,12 @@ def test_import_vitdet_mmdet_schema():
             i_, o_ = fp[b + (ours, "kernel")].shape
             sd[f"{pre}.{mm}.weight"] = _seq((o_, i_))
             sd[f"{pre}.{mm}.bias"] = _seq(fp[b + (ours, "bias")].shape)
+        # decomposed rel-pos tables, stored at the 1024px-training length
+        # (2*64-1=127) -> must interpolate down to our grid/window extent
+        if b + ("rel_pos_h",) in fp:
+            hd = fp[b + ("rel_pos_h",)].shape[1]
+            sd[f"{pre}.attn.rel_pos_h"] = _seq((127, hd))
+            sd[f"{pre}.attn.rel_pos_w"] = _seq((127, hd))
     sd["backbone.ln1.weight"] = _seq(fp[("backbone", "norm", "scale")].shape)
     sd["backbone.ln1.bias"] = _seq(fp[("backbone", "norm", "bias")].shape)
     # mask-rcnn rpn rides along (same mmdet names as faster-rcnn)

@@ -52,3 +52,52 @@ def test_offline_responses_backend(tmp_path):
     assert len(pred["annotations"]) == 2
     saved = json.loads((tmp_path / "pred.json").read_text())
     assert saved["annotations"][0]["image_id"] == 0
+
+
+def test_internvl_deepseek_format_math():
+    """internvl: xyxy /1000 (test_internvl.py:74-80); deepseek: xyxy /999
+    (test_deepseek.py:110-116); gemini: yxyx /1000."""
+    from agenda_tpu.cli.vlm_baseline import MODEL_FORMATS, boxes_to_annotations
+
+    box = [[100, 200, 300, 400]]  # raw model output
+
+    order, denom = MODEL_FORMATS["internvl"]
+    a = boxes_to_annotations(box, 0, 0, 112, 112, order=order, denom=denom)[0]
+    # x1=100/1000*112, y1=200/1000*112
+    assert abs(a["bbox"][0] - 11.2) < 1e-6 and abs(a["bbox"][1] - 22.4) < 1e-6
+
+    order, denom = MODEL_FORMATS["deepseek"]
+    d = boxes_to_annotations(box, 0, 0, 112, 112, order=order, denom=denom)[0]
+    assert abs(d["bbox"][0] - 100 / 999 * 112) < 1e-6
+
+    order, denom = MODEL_FORMATS["gemini"]
+    g = boxes_to_annotations(box, 0, 0, 112, 112, order=order, denom=denom)[0]
+    # gemini order: first value is y1 -> bbox x comes from the 2nd number
+    assert abs(g["bbox"][0] - 22.4) < 1e-6 and abs(g["bbox"][1] - 11.2) < 1e-6
+
+    # min/max swap applies in the model's own axis order
+    swapped = [[300, 400, 100, 200]]
+    order, denom = MODEL_FORMATS["internvl"]
+    s = boxes_to_annotations(swapped, 0, 0, 112, 112, order=order, denom=denom)[0]
+    assert s["bbox"][2] > 0 and s["bbox"][3] > 0
+
+
+def test_offline_responses_backend_deepseek(tmp_path):
+    import json
+
+    from agenda_tpu.cli.vlm_baseline import main
+
+    gt = {"categories": [{"id": 1, "name": "small"}],
+          "images": [{"id": 0, "file_name": "0.png", "width": 112, "height": 112}],
+          "annotations": []}
+    (tmp_path / "gt.json").write_text(json.dumps(gt))
+    (tmp_path / "resp.json").write_text(json.dumps({"0.png": "[0, 0, 999, 999]"}))
+    pred = main([
+        "--backend", "responses", "--model_format", "deepseek",
+        "--responses_file", str(tmp_path / "resp.json"),
+        "--test_data_base_path", str(tmp_path),
+        "--annotation_file", "gt.json",
+        "--save_path", str(tmp_path / "pred.json"),
+    ])
+    bb = pred["annotations"][0]["bbox"]
+    assert abs(bb[2] - 112.0) < 1e-6  # full-image box maps to full width
