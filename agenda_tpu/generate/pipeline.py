@@ -137,10 +137,29 @@ class StableDiffusionPipeline:
 
     # -- text ---------------------------------------------------------------
 
+    @functools.cached_property
+    def _encode_fn(self):
+        # jitted: un-jitted apply would dispatch every CLIP op as its own
+        # (remote) execution — hundreds of RPC roundtrips per call on a
+        # tunneled TPU backend.
+        return jax.jit(lambda params, ids: self.text_encoder.apply(params, ids)[0])
+
     def encode_prompts(self, prompts: Sequence[str]) -> jax.Array:
         ids = jnp.asarray(self.tokenizer(list(prompts)))
-        hidden, _ = self.text_encoder.apply(self.text_params, ids)
-        return hidden
+        return self._encode_fn(self.text_params, ids)
+
+    @functools.cached_property
+    def _latents_fn(self):
+        # One jitted program for the whole seed batch (vs one eager
+        # normal-dispatch per seed). vmapped jax.random.key(seed) produces
+        # bit-identical draws to the per-seed eager path.
+        def f(seeds, lh, lw):
+            keys = jax.vmap(jax.random.key)(seeds)
+            return jax.vmap(
+                lambda k: jax.random.normal(k, (lh, lw, 4), jnp.float32)
+            )(keys)
+
+        return jax.jit(f, static_argnums=(1, 2))
 
     # -- core compiled sampler ---------------------------------------------
 
@@ -318,16 +337,13 @@ class StableDiffusionPipeline:
                 word_mask[i, : len(xs)] = 1.0
             word_ids = jnp.asarray(word_ids)
             word_mask = jnp.asarray(word_mask)
-        context_cond = self.encode_prompts([prompt] * b)
-        context_uncond = self.encode_prompts([negative_prompt] * b)
-        context = jnp.concatenate([context_uncond, context_cond], axis=0)
+        # Single text-encoder call for [uncond; cond] (one device program).
+        context = self.encode_prompts([negative_prompt] * b + [prompt] * b)
 
         f = self.vae_scale_factor
         lh, lw = height // f, width // f
-        lat_list = [
-            jax.random.normal(jax.random.key(int(s)), (lh, lw, 4), jnp.float32) for s in seeds
-        ]
-        latents0 = jnp.stack(lat_list)
+        latents0 = self._latents_fn(
+            jnp.asarray([int(s) for s in seeds], jnp.uint32), lh, lw)
 
         if self.mesh is not None:
             # Shard the seed batch over the dp axis: the jitted sampler then

@@ -40,7 +40,7 @@ def main():
         VAEConfig,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     dtype = jnp.bfloat16
