@@ -1,0 +1,126 @@
+"""ctypes bindings for the native image decode/resize kernels
+(``native/image_ops.cc``).
+
+Replaces PIL on the detector data path's hot loop (the reference leans on
+torch DataLoader workers + PIL/cv2 for LoadImageFromFile + Resize; this
+single-core host makes Python-side decode the training bottleneck at the
+reference's 64-1024-image batches). Falls back to PIL transparently when the
+toolchain/library is unavailable; tests assert PIL parity (exact decode,
+resize within 1 LSB — PIL quantizes its triangle-filter coefficients to
+fixed point, the native path keeps them in float).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libagenda_native.so")
+
+
+@functools.cache
+def _load() -> Optional[ctypes.CDLL]:
+    # reuse the detect.native auto-build (same .so)
+    from agenda_tpu.detect.native import _load as _build
+
+    lib = _build()
+    if lib is None:
+        return None
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    f32 = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    try:
+        lib.read_image_header.argtypes = [u8, i64, i32p, i32p]
+        lib.read_image_header.restype = ctypes.c_int
+        lib.decode_rgb8.argtypes = [u8, i64, u8, i32, i32]
+        lib.decode_rgb8.restype = ctypes.c_int
+        lib.resize_bilinear_rgb8.argtypes = [u8, i32, i32, u8, i32, i32]
+        lib.resize_bilinear_rgb8.restype = ctypes.c_int
+        lib.decode_resize_rgb8.argtypes = [u8, i64, i32, i32, u8, f32]
+        lib.decode_resize_rgb8.restype = ctypes.c_int
+    except AttributeError:
+        return None
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def read_header(data: bytes) -> Tuple[int, int]:
+    """(width, height) from PNG/JPEG bytes."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    rc = lib.read_image_header(_u8p(buf), len(data), ctypes.byref(w), ctypes.byref(h))
+    if rc:
+        raise ValueError(f"read_image_header failed rc={rc}")
+    return int(w.value), int(h.value)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """PNG/JPEG bytes -> (H, W, 3) uint8 RGB."""
+    lib = _load()
+    w, h = read_header(data)
+    out = np.empty((h, w, 3), np.uint8)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.decode_rgb8(_u8p(buf), len(data), _u8p(out), w, h)
+    if rc:
+        raise ValueError(f"decode_rgb8 failed rc={rc}")
+    return out
+
+
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """(H, W, 3) uint8 -> (out_h, out_w, 3) uint8, PIL BILINEAR semantics."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.resize_bilinear_rgb8(_u8p(img), img.shape[0], img.shape[1],
+                                  _u8p(out), out_h, out_w)
+    if rc:
+        raise ValueError(f"resize_bilinear_rgb8 failed rc={rc}")
+    return out
+
+
+def load_rgb(path: str, out_size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Read + decode (+ optional resize to (w, h)) a PNG/JPEG as uint8 RGB.
+
+    The one-shot native path: file bytes -> decoded, resized pixels without
+    touching Python between steps. Falls back to PIL when native is
+    unavailable or the format is unsupported.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    lib = _load()
+    if lib is not None:
+        try:
+            if out_size is None:
+                return decode(data)
+            ow, oh = out_size
+            out = np.empty((oh, ow, 3), np.uint8)
+            buf = np.frombuffer(data, np.uint8)
+            rc = lib.decode_resize_rgb8(_u8p(buf), len(data), oh, ow, _u8p(out),
+                                        ctypes.cast(None, ctypes.POINTER(ctypes.c_float)))
+            if rc == 0:
+                return out
+        except ValueError:
+            pass
+    from PIL import Image
+    import io
+
+    im = Image.open(io.BytesIO(data)).convert("RGB")
+    if out_size is not None:
+        im = im.resize(out_size, Image.BILINEAR)
+    return np.asarray(im)

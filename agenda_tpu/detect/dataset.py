@@ -74,9 +74,12 @@ class CocoDetDataset:
         return len(self.images)
 
     def _load_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        from agenda_tpu.data.native_image import load_rgb
+
         info = self.images[index]
         path = os.path.join(self.img_dir, info["file_name"])
-        img = np.asarray(Image.open(path).convert("RGB"), np.float32)
+        # native PNG/JPEG decode (C++, libpng/libjpeg) with PIL fallback
+        img = load_rgb(path).astype(np.float32)
         boxes = []
         for a in self.anns_by_img.get(info["id"], []):
             x, y, w, h = a["bbox"]
@@ -85,11 +88,16 @@ class CocoDetDataset:
         return img, boxes
 
     def _resize(self, img, boxes, out_w, out_h):
+        from agenda_tpu.data.native_image import available, resize_bilinear
+
         h, w = img.shape[:2]
-        img = np.asarray(
-            Image.fromarray(img.astype(np.uint8)).resize((out_w, out_h), Image.BILINEAR),
-            np.float32,
-        )
+        u8 = img.astype(np.uint8)
+        if available():
+            img = resize_bilinear(u8, out_w, out_h).astype(np.float32)
+        else:
+            img = np.asarray(
+                Image.fromarray(u8).resize((out_w, out_h), Image.BILINEAR), np.float32
+            )
         sx, sy = out_w / w, out_h / h
         if len(boxes):
             boxes = boxes * np.array([sx, sy, sx, sy], np.float32)

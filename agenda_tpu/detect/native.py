@@ -25,9 +25,10 @@ def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("AGENDA_TPU_NO_NATIVE"):
         return None
     try:
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH)
-            < os.path.getmtime(os.path.join(_NATIVE_DIR, "coco_eval.cc"))
+        sources = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
+                   if f.endswith(".cc")]
+        if not os.path.exists(_LIB_PATH) or any(
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(s) for s in sources
         ):
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)

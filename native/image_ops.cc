@@ -1,0 +1,300 @@
+// Native image decode + resize for the detector data path.
+//
+// The reference's data loading rides torch DataLoader workers with
+// PIL/cv2 decode (mmdet LoadImageFromFile); this single-core TPU host makes
+// Python-side decode the detector-training bottleneck at the reference's
+// batch sizes (64-1024 tiles/step, data_annotation/configs/*). These C
+// entry points (ctypes-bound from agenda_tpu/data/native_image.py) do
+// PNG/JPEG decode via libpng/libjpeg and a PIL-compatible triangle-filter
+// bilinear resize without leaving C++.
+//
+// All functions return 0 on success, negative on failure. Buffers are
+// caller-allocated RGB8 (H*W*3).
+
+#include <cstdio>  // jpeglib.h needs FILE declared first
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// headers
+// ---------------------------------------------------------------------------
+
+static bool is_png(const uint8_t* b, int64_t n) {
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
+  return n >= 8 && std::memcmp(b, sig, 8) == 0;
+}
+
+static bool is_jpeg(const uint8_t* b, int64_t n) {
+  return n >= 3 && b[0] == 0xFF && b[1] == 0xD8 && b[2] == 0xFF;
+}
+
+struct PngReadCtx {
+  const uint8_t* data;
+  int64_t size;
+  int64_t pos;
+};
+
+static void png_mem_read(png_structp png, png_bytep out, png_size_t len) {
+  PngReadCtx* c = static_cast<PngReadCtx*>(png_get_io_ptr(png));
+  if (c->pos + static_cast<int64_t>(len) > c->size) {
+    png_error(png, "read past end");
+  }
+  std::memcpy(out, c->data + c->pos, len);
+  c->pos += len;
+}
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+// Parse width/height without a full decode.
+int read_image_header(const uint8_t* bytes, int64_t n, int32_t* w, int32_t* h) {
+  if (is_png(bytes, n)) {
+    if (n < 24) return -1;
+    // IHDR is always the first chunk: bytes 16..23 are width/height (BE).
+    *w = (bytes[16] << 24) | (bytes[17] << 16) | (bytes[18] << 8) | bytes[19];
+    *h = (bytes[20] << 24) | (bytes[21] << 16) | (bytes[22] << 8) | bytes[23];
+    return 0;
+  }
+  if (is_jpeg(bytes, n)) {
+    jpeg_decompress_struct cinfo;
+    JpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(err.jb)) {
+      jpeg_destroy_decompress(&cinfo);
+      return -2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, bytes, n);
+    jpeg_read_header(&cinfo, TRUE);
+    *w = cinfo.image_width;
+    *h = cinfo.image_height;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  return -3;
+}
+
+// ---------------------------------------------------------------------------
+// decode to RGB8
+// ---------------------------------------------------------------------------
+
+static int decode_png_rgb8(const uint8_t* bytes, int64_t n, uint8_t* out,
+                           int32_t w, int32_t h) {
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return -4;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -4;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -5;
+  }
+  PngReadCtx ctx{bytes, n, 0};
+  png_set_read_fn(png, &ctx, png_mem_read);
+  png_read_info(png, info);
+
+  // normalize every layout to 8-bit RGB
+  png_byte color = png_get_color_type(png, info);
+  png_byte depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  if (static_cast<int32_t>(png_get_image_width(png, info)) != w ||
+      static_cast<int32_t>(png_get_image_height(png, info)) != h ||
+      png_get_channels(png, info) != 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -6;
+  }
+  std::vector<png_bytep> rows(h);
+  for (int32_t y = 0; y < h; y++) rows[y] = out + static_cast<int64_t>(y) * w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+static int decode_jpeg_rgb8(const uint8_t* bytes, int64_t n, uint8_t* out,
+                            int32_t w, int32_t h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -7;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, bytes, n);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int32_t>(cinfo.output_width) != w ||
+      static_cast<int32_t>(cinfo.output_height) != h ||
+      cinfo.output_components != 3) {
+    jpeg_destroy_decompress(&cinfo);
+    return -8;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + static_cast<int64_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+int decode_rgb8(const uint8_t* bytes, int64_t n, uint8_t* out, int32_t w,
+                int32_t h) {
+  if (is_png(bytes, n)) return decode_png_rgb8(bytes, n, out, w, h);
+  if (is_jpeg(bytes, n)) return decode_jpeg_rgb8(bytes, n, out, w, h);
+  return -3;
+}
+
+// ---------------------------------------------------------------------------
+// PIL-compatible triangle-filter resize (Image.BILINEAR)
+// ---------------------------------------------------------------------------
+//
+// PIL's bilinear is a separable triangle filter whose support scales with
+// the downscale factor (area-average-like when shrinking), NOT 4-neighbor
+// sampling. Coefficients here mirror PIL's float path; output matches PIL
+// within 1 LSB (PIL quantizes coefficients to fixed point).
+
+struct FilterTable {
+  std::vector<float> weights;  // ksize per output position
+  std::vector<int32_t> starts;
+  int32_t ksize;
+};
+
+static FilterTable build_triangle(int32_t in_size, int32_t out_size) {
+  FilterTable t;
+  double scale = static_cast<double>(in_size) / out_size;
+  double support = scale < 1.0 ? 1.0 : scale;  // filter support * scale
+  t.ksize = static_cast<int32_t>(std::ceil(support)) * 2 + 1;
+  t.weights.assign(static_cast<size_t>(out_size) * t.ksize, 0.0f);
+  t.starts.assign(out_size, 0);
+  double filterscale = std::max(scale, 1.0);
+  for (int32_t i = 0; i < out_size; i++) {
+    double center = (i + 0.5) * scale;
+    int32_t xmin = static_cast<int32_t>(std::max(0.0, center - support + 0.5));
+    int32_t xmax = std::min<int32_t>(in_size,
+                                     static_cast<int32_t>(center + support + 0.5));
+    t.starts[i] = xmin;
+    double sum = 0.0;
+    std::vector<double> ww(xmax - xmin);
+    for (int32_t x = xmin; x < xmax; x++) {
+      double arg = (x - center + 0.5) / filterscale;
+      double wgt = std::max(0.0, 1.0 - std::abs(arg));  // triangle
+      ww[x - xmin] = wgt;
+      sum += wgt;
+    }
+    for (int32_t x = 0; x < xmax - xmin; x++) {
+      t.weights[static_cast<size_t>(i) * t.ksize + x] =
+          static_cast<float>(sum > 0 ? ww[x] / sum : 0.0);
+    }
+  }
+  return t;
+}
+
+// src: (sh, sw, 3) u8 -> dst: (dh, dw, 3) u8
+int resize_bilinear_rgb8(const uint8_t* src, int32_t sh, int32_t sw,
+                         uint8_t* dst, int32_t dh, int32_t dw) {
+  if (sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0) return -9;
+  if (sh == dh && sw == dw) {
+    std::memcpy(dst, src, static_cast<int64_t>(sh) * sw * 3);
+    return 0;
+  }
+  FilterTable fx = build_triangle(sw, dw);
+  FilterTable fy = build_triangle(sh, dh);
+
+  // horizontal pass: (sh, sw, 3) -> (sh, dw, 3) float
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
+  for (int32_t y = 0; y < sh; y++) {
+    const uint8_t* row = src + static_cast<int64_t>(y) * sw * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * dw * 3;
+    for (int32_t x = 0; x < dw; x++) {
+      const float* w = &fx.weights[static_cast<size_t>(x) * fx.ksize];
+      int32_t x0 = fx.starts[x];
+      int32_t kmax = std::min<int32_t>(fx.ksize, sw - x0);
+      float r = 0, g = 0, b = 0;
+      for (int32_t k = 0; k < kmax; k++) {
+        const uint8_t* px = row + static_cast<int64_t>(x0 + k) * 3;
+        r += w[k] * px[0];
+        g += w[k] * px[1];
+        b += w[k] * px[2];
+      }
+      trow[x * 3 + 0] = r;
+      trow[x * 3 + 1] = g;
+      trow[x * 3 + 2] = b;
+    }
+  }
+  // vertical pass: (sh, dw, 3) -> (dh, dw, 3) u8
+  for (int32_t y = 0; y < dh; y++) {
+    const float* w = &fy.weights[static_cast<size_t>(y) * fy.ksize];
+    int32_t y0 = fy.starts[y];
+    int32_t kmax = std::min<int32_t>(fy.ksize, sh - y0);
+    uint8_t* drow = dst + static_cast<int64_t>(y) * dw * 3;
+    for (int32_t x = 0; x < dw * 3; x++) {
+      float acc = 0;
+      for (int32_t k = 0; k < kmax; k++) {
+        acc += w[k] * tmp[static_cast<size_t>(y0 + k) * dw * 3 + x];
+      }
+      int32_t v = static_cast<int32_t>(acc + 0.5f);
+      drow[x] = static_cast<uint8_t>(std::clamp(v, 0, 255));
+    }
+  }
+  return 0;
+}
+
+// One-shot hot path: decode + resize + (optional) float normalize to 0..1.
+// out_f32 may be null (then out_u8 receives the resized image).
+int decode_resize_rgb8(const uint8_t* bytes, int64_t n, int32_t dh, int32_t dw,
+                       uint8_t* out_u8, float* out_f32) {
+  int32_t w = 0, h = 0;
+  int rc = read_image_header(bytes, n, &w, &h);
+  if (rc) return rc;
+  std::vector<uint8_t> raw(static_cast<size_t>(w) * h * 3);
+  rc = decode_rgb8(bytes, n, raw.data(), w, h);
+  if (rc) return rc;
+  std::vector<uint8_t> resized;
+  const uint8_t* final_u8 = raw.data();
+  if (h != dh || w != dw) {
+    resized.resize(static_cast<size_t>(dh) * dw * 3);
+    rc = resize_bilinear_rgb8(raw.data(), h, w, resized.data(), dh, dw);
+    if (rc) return rc;
+    final_u8 = resized.data();
+  }
+  int64_t count = static_cast<int64_t>(dh) * dw * 3;
+  if (out_u8) std::memcpy(out_u8, final_u8, count);
+  if (out_f32) {
+    for (int64_t i = 0; i < count; i++) out_f32[i] = final_u8[i] * (1.0f / 255.0f);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,135 @@
+"""Native image decode/resize parity vs PIL (native/image_ops.cc)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from agenda_tpu.data import native_image as ni
+
+
+pytestmark = pytest.mark.skipif(not ni.available(), reason="native lib unavailable")
+
+
+def _png_bytes(arr, mode="RGB"):
+    im = Image.fromarray(arr, mode)
+    b = io.BytesIO()
+    im.save(b, "PNG")
+    return b.getvalue()
+
+
+def test_header_and_decode_png_rgb():
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, (37, 53, 3), np.uint8)
+    data = _png_bytes(arr)
+    assert ni.read_header(data) == (53, 37)
+    out = ni.decode(data)
+    np.testing.assert_array_equal(out, arr)  # PNG is lossless: exact
+
+
+def test_decode_png_palette_gray_rgba():
+    rng = np.random.RandomState(1)
+    gray = rng.randint(0, 256, (16, 16), np.uint8)
+    out = ni.decode(_png_bytes(gray, "L"))
+    np.testing.assert_array_equal(out, np.repeat(gray[..., None], 3, -1))
+
+    rgba = rng.randint(0, 256, (12, 20, 4), np.uint8)
+    out = ni.decode(_png_bytes(rgba, "RGBA"))
+    np.testing.assert_array_equal(out, rgba[..., :3])  # alpha stripped
+
+    pal = Image.fromarray(rng.randint(0, 256, (10, 10, 3), np.uint8)).convert(
+        "P", palette=Image.ADAPTIVE)
+    b = io.BytesIO(); pal.save(b, "PNG")
+    out = ni.decode(b.getvalue())
+    np.testing.assert_array_equal(out, np.asarray(pal.convert("RGB")))
+
+
+def test_decode_jpeg_close_to_pil():
+    rng = np.random.RandomState(2)
+    arr = (rng.rand(32, 48, 3) * 128 + 64).astype(np.uint8)
+    im = Image.fromarray(arr)
+    b = io.BytesIO(); im.save(b, "JPEG", quality=95)
+    data = b.getvalue()
+    assert ni.read_header(data) == (48, 32)
+    ours = ni.decode(data).astype(np.int32)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")).astype(np.int32)
+    # same libjpeg underneath -> identical, but tolerate 1 LSB
+    assert np.abs(ours - pil).max() <= 1
+
+
+@pytest.mark.parametrize("src,dst", [((112, 112), (64, 64)),   # downscale (task shape)
+                                     ((112, 112), (128, 128)),  # upscale
+                                     ((37, 53), (64, 64)),      # uneven
+                                     ((64, 64), (64, 64))])     # identity
+def test_resize_matches_pil_bilinear(src, dst):
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (*src, 3), np.uint8)
+    ours = ni.resize_bilinear(arr, dst[1], dst[0]).astype(np.int32)
+    pil = np.asarray(Image.fromarray(arr).resize((dst[1], dst[0]), Image.BILINEAR),
+                     np.int32)
+    diff = np.abs(ours - pil)
+    # PIL quantizes filter coefficients to fixed point; float coefficients
+    # land within 1 LSB everywhere (and exactly for identity).
+    if src == dst:
+        assert diff.max() == 0
+    else:
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 0.25  # PIL's fixed-point rounding noise
+
+
+def test_load_rgb_oneshot(tmp_path):
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 256, (112, 112, 3), np.uint8)
+    p = str(tmp_path / "x.png")
+    Image.fromarray(arr).save(p)
+    out = ni.load_rgb(p, out_size=(64, 64))
+    pil = np.asarray(Image.fromarray(arr).resize((64, 64), Image.BILINEAR), np.int32)
+    assert out.shape == (64, 64, 3)
+    assert np.abs(out.astype(np.int32) - pil).max() <= 1
+    # no-resize path is exact
+    np.testing.assert_array_equal(ni.load_rgb(p), arr)
+
+
+def test_dataset_uses_native_path(tmp_path):
+    import json
+
+    from agenda_tpu.detect.dataset import CocoDetDataset
+
+    rng = np.random.RandomState(5)
+    (tmp_path / "images").mkdir()
+    Image.fromarray(rng.randint(0, 256, (112, 112, 3), np.uint8)).save(
+        tmp_path / "images" / "0.png")
+    with open(tmp_path / "ann.json", "w") as f:
+        json.dump({"images": [{"id": 0, "file_name": "0.png", "width": 112,
+                               "height": 112}],
+                   "annotations": [{"id": 0, "image_id": 0, "bbox": [10, 10, 42, 42],
+                                    "category_id": 1, "area": 1764, "iscrowd": 0}],
+                   "categories": [{"id": 1, "name": "small"}]}, f)
+    ds = CocoDetDataset(str(tmp_path), "ann.json", img_scale=(64, 64), max_gt=4,
+                        train=False)
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+
+
+def test_decode_speed_vs_pil(tmp_path):
+    """Not a perf gate, just evidence the native path isn't slower."""
+    import time
+
+    rng = np.random.RandomState(6)
+    arr = rng.randint(0, 256, (112, 112, 3), np.uint8)
+    p = str(tmp_path / "t.png")
+    Image.fromarray(arr).save(p)
+    n = 50
+    t0 = time.time()
+    for _ in range(n):
+        ni.load_rgb(p, out_size=(128, 128))
+    t_native = time.time() - t0
+    t0 = time.time()
+    for _ in range(n):
+        np.asarray(Image.open(p).convert("RGB").resize((128, 128), Image.BILINEAR))
+    t_pil = time.time() - t0
+    print(f"native {t_native*1000/n:.2f} ms vs PIL {t_pil*1000/n:.2f} ms per image")
+    assert t_native < t_pil * 2.0  # sanity: same order or faster
