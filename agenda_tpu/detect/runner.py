@@ -167,18 +167,12 @@ class DetectorRunner:
             batch_stats = loaded.get("batch_stats", batch_stats)
             resume_ema = loaded.get("ema_params")
             # Full mmengine-style resume: optimizer moments + epoch/step
-            # counters ride in an orbax dir next to the weights.
-            ts_path = os.path.join(os.path.dirname(os.path.abspath(resume)),
+            # counters ride in a train_state file next to the weights.
+            ts_base = os.path.join(os.path.dirname(os.path.abspath(resume)),
                                    "train_state")
-            if os.path.isdir(ts_path):
-                import orbax.checkpoint as ocp
-
-                abstract = jax.eval_shape(
-                    lambda: {"opt_state": opt_state, "epoch": 0, "gstep": 0})
-                restored = ocp.PyTreeCheckpointer().restore(ts_path, item=abstract)
-                opt_state = restored["opt_state"]
-                start_epoch = int(restored["epoch"]) + 1
-                gstep = int(restored["gstep"])
+            if os.path.exists(ts_base + ".safetensors"):
+                opt_state, last_epoch, gstep = self._load_train_state(ts_base, opt_state)
+                start_epoch = last_epoch + 1
                 logger.info("resumed optimizer/epoch state: epoch %d, step %d",
                             start_epoch, gstep)
             else:
@@ -275,17 +269,27 @@ class DetectorRunner:
                 "batch_stats": batch_stats}
 
     def _save_train_state(self, opt_state, epoch: int, gstep: int) -> None:
-        """Optimizer moments + epoch/step counters (mmengine resume parity)."""
-        import shutil
+        """Optimizer moments + epoch/step counters (mmengine resume parity).
 
-        import orbax.checkpoint as ocp
+        One safetensors file with the opt_state leaves in tree order — orbax's
+        many-small-files sync save measured 13 s/epoch on this host.
+        """
+        leaves = jax.tree.leaves(opt_state)
+        flat = {f"opt.{i:04d}": np.asarray(x) for i, x in enumerate(leaves)}
+        flat["epoch"] = np.asarray(epoch, np.int64)
+        flat["gstep"] = np.asarray(gstep, np.int64)
+        _write_safetensors(
+            os.path.join(self.cfg.output_dir, "train_state.safetensors"), flat)
 
-        path = os.path.join(os.path.abspath(self.cfg.output_dir), "train_state")
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        ocp.PyTreeCheckpointer().save(
-            path, {"opt_state": jax.tree.map(np.asarray, opt_state),
-                   "epoch": epoch, "gstep": gstep})
+    @staticmethod
+    def _load_train_state(path_base: str, opt_state_template):
+        """-> (opt_state, epoch, gstep); template provides the tree structure."""
+        sd = _read_tensor_file(path_base)
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+        restored = [np.asarray(sd[f"opt.{i:04d}"], np.asarray(l).dtype)
+                    for i, l in enumerate(leaves)]
+        opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+        return opt_state, int(sd["epoch"]), int(sd["gstep"])
 
     # -- evaluation / test --------------------------------------------------
 
