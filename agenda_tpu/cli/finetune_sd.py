@@ -125,10 +125,13 @@ def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(name)s - %(message)s")
-    for flag in ("use_8bit_adam", "allow_tf32", "enable_xformers_memory_efficient_attention",
+    for flag in ("allow_tf32", "enable_xformers_memory_efficient_attention",
                  "push_to_hub", "offload_ema", "foreach_ema"):
         if getattr(args, flag):
             logger.info("flag --%s accepted for compatibility (no-op on TPU)", flag)
+    if args.use_8bit_adam:
+        logger.info("--use_8bit_adam: int8-moment AdamW (blockwise absmax; "
+                    "fits SD-1.x + EMA on one v5e chip)")
 
     os.makedirs(args.output_dir, exist_ok=True)
     seed = args.seed if args.seed is not None else 0
@@ -175,7 +178,8 @@ def main(argv=None):
                         args.max_train_steps * 1)
     tx = make_optimizer(lr_fn, args.adam_beta1, args.adam_beta2, args.adam_weight_decay,
                         args.adam_epsilon, args.max_grad_norm,
-                        args.gradient_accumulation_steps)
+                        args.gradient_accumulation_steps,
+                        use_8bit_adam=args.use_8bit_adam)
 
     state = init_train_state(bundle.unet_params, tx, args.use_ema)
 

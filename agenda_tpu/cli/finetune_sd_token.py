@@ -253,7 +253,8 @@ def main(argv=None):
                         args.lr_num_cycles, args.lr_power)
     tx = make_optimizer(lr_fn, args.adam_beta1, args.adam_beta2, args.adam_weight_decay,
                         args.adam_epsilon, max_grad_norm=None,  # clip handled in step
-                        gradient_accumulation_steps=args.gradient_accumulation_steps)
+                        gradient_accumulation_steps=args.gradient_accumulation_steps,
+                        use_8bit_adam=args.use_8bit_adam)
 
     state = init_token_train_state(
         unet_params, tx, args.train_token, args.train_unet, args.train_cross_attn,

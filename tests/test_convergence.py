@@ -11,6 +11,7 @@ to 4 objects per image. Thresholds are calibrated measurements minus margin
 - faster-rcnn: mAP50 0.73 at 30 epochs (lr 0.005) -> gate 0.40
   (at the stage lr 0.02 with this tiny global batch the RCNN head DIVERGES,
   loss 1.7 -> 30 — which is exactly the class of failure this gate catches)
+- vitdet:      mAP50 0.71 at 30 epochs (tiny ViT, adamw 3e-4) -> gate 0.40
 
 A subtly broken assigner, box loss, or decoder plateaus near zero here, so
 these gates fail on real regressions, not just NaNs.
@@ -67,3 +68,14 @@ def test_faster_rcnn_convergence_gate(tmp_path):
              rpn_sample=64, rcnn_sample=64),
         lr=0.005, epochs=30)
     assert res["bbox_mAP_50"] >= 0.40, res  # calibrated 0.73 @ epoch 29
+
+
+@pytest.mark.slow
+def test_vitdet_convergence_gate(tmp_path):
+    res = _train_and_eval(
+        tmp_path, "vitdet",
+        dict(img_size=64, max_gt=8, embed_dim=64, vit_depth=2, vit_heads=2,
+             window_size=2, window_block_indexes=(0,), drop_path_rate=0.0,
+             nms_pre=256, num_proposals=64, rpn_sample=64, rcnn_sample=64),
+        lr=3e-4, epochs=30, optimizer="adamw")
+    assert res["bbox_mAP_50"] >= 0.40, res  # calibrated 0.71
