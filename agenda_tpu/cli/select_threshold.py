@@ -6,7 +6,10 @@ Replaces the two reference notebooks with one scriptable tool:
   101-pt AP, argmax-F1 threshold, optional P/R/F1-vs-score table dump;
 - conversion mode (ConvertPredToCOCOPseudoAnnotations.ipynb): with
   ``--emit-pseudo-coco``, writes the pseudo-label COCO at the chosen (or
-  selected) threshold using the recipe-encoding filename.
+  selected) threshold using the recipe-encoding filename;
+- ``--plot out.png`` renders the notebook's analysis figures (PR curve,
+  P/R/F1 vs confidence with the selected threshold marked, per-image
+  TP/FP/FN scatter — VisualizeTestResults.ipynb cells 18-32) headlessly.
 """
 
 from __future__ import annotations
@@ -43,7 +46,59 @@ def parse_args(argv=None):
     p.add_argument("--image-size", type=int, default=112)
     p.add_argument("--table-out", type=str, default=None,
                    help="Write the P/R/F1-vs-score table as JSON here.")
+    p.add_argument("--plot", type=str, default=None,
+                   help="Write the analysis figures (PR curve, P/R/F1 vs "
+                        "confidence, per-image TP/FP/FN scatter) to this PNG.")
     return p.parse_args(argv)
+
+
+def _render_plots(path, table, result, records, iou_thresh):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from agenda_tpu.annotate.threshold import match_predictions
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4.2))
+
+    ax = axes[0]
+    ax.plot(table["recall"], table["precision"], lw=1.5)
+    ax.set_xlabel("recall"), ax.set_ylabel("precision")
+    ax.set_title(f"PR curve (AP={result['ap']:.3f})")
+    ax.set_xlim(0, 1), ax.set_ylim(0, 1.02), ax.grid(alpha=0.3)
+
+    ax = axes[1]
+    ax.plot(table["score"], table["precision"], label="precision", lw=1.2)
+    ax.plot(table["score"], table["recall"], label="recall", lw=1.2)
+    ax.plot(table["score"], table["f1"], label="F1", lw=1.6)
+    ax.axvline(result["threshold"], color="k", ls="--", lw=1,
+               label=f"F1-max thr={result['threshold']:.3f}")
+    ax.set_xlabel("confidence"), ax.set_title("P/R/F1 vs confidence")
+    ax.legend(fontsize=8), ax.grid(alpha=0.3)
+
+    # per-image TP/FP/FN at the selected threshold (notebook cells 18-32)
+    ax = axes[2]
+    tps, fps, fns = [], [], []
+    for r in records:
+        scores_i, is_tp_i, n_gt_i = match_predictions([r], iou_thresh)
+        keep = scores_i >= result["threshold"]
+        tp = int(is_tp_i[keep].sum())
+        tps.append(tp)
+        fps.append(int(keep.sum()) - tp)
+        fns.append(n_gt_i - tp)
+    idx = np.arange(len(records))
+    ax.scatter(idx, tps, s=8, label="TP", color="#2a9d3a")
+    ax.scatter(idx, fps, s=8, label="FP", color="#d62728", marker="x")
+    ax.scatter(idx, fns, s=8, label="FN", color="#1f77b4", marker="^")
+    ax.set_xlabel("image index"), ax.set_title("per-image TP/FP/FN @ thr")
+    ax.legend(fontsize=8), ax.grid(alpha=0.3)
+
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    print(f"wrote {path}")
 
 
 def main(argv=None):
@@ -67,6 +122,8 @@ def main(argv=None):
         if args.table_out:
             with open(args.table_out, "w") as f:
                 json.dump({k: v.tolist() for k, v in table.items()}, f)
+        if args.plot:
+            _render_plots(args.plot, table, result, records, args.iou_thresh)
     elif args.thresh_conf is None and args.emit_pseudo_coco:
         raise ValueError("No gt_instances in records: pass --thresh-conf explicitly.")
 

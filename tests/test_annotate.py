@@ -256,3 +256,17 @@ def test_macro_f1():
     labels = np.array([1, 0, 0, 0, 1])
     # class1: tp2 fp1 fn0 -> f1 = 4/5; class0: tp2 fp0 fn1 -> 4/5
     assert abs(macro_f1_binary(preds, labels) - 0.8) < 1e-9
+
+
+def test_select_threshold_cli_plot(tmp_path):
+    """--plot renders the notebook analysis figures headlessly
+    (VisualizeTestResults.ipynb cells 18-32)."""
+    from agenda_tpu.annotate.records import save_predictions
+    from agenda_tpu.cli.select_threshold import main as st_main
+
+    pkl = str(tmp_path / "pred.pkl")
+    save_predictions(make_records(), pkl)
+    png = str(tmp_path / "analysis.png")
+    res = st_main(["--prediction_pkl", pkl, "--plot", png])
+    assert os.path.exists(png) and os.path.getsize(png) > 5000
+    assert abs(res["threshold"] - 0.6) < 1e-9

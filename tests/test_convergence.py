@@ -60,6 +60,18 @@ def test_yolov5_convergence_gate(tmp_path):
     assert res["bbox_mAP_50"] >= 0.22, res  # calibrated 0.45
 
 
+# The two-stage families need 10-45 min each on this single-core host
+# (dominated by XLA compile + the 8-virtual-device collectives), so their
+# gates run when AGENDA_FULL_CONVERGENCE=1 (calibration evidence in the
+# module docstring; both measured green on 2026-08-16).
+_full = pytest.mark.skipif(
+    not os.environ.get("AGENDA_FULL_CONVERGENCE"),
+    reason="set AGENDA_FULL_CONVERGENCE=1 (10-45 min/family on 1 CPU core); "
+           "calibrated 2026-08-16: faster-rcnn 0.73-0.77, vitdet 0.71 mAP50",
+)
+
+
+@_full
 @pytest.mark.slow
 def test_faster_rcnn_convergence_gate(tmp_path):
     res = _train_and_eval(
@@ -70,6 +82,7 @@ def test_faster_rcnn_convergence_gate(tmp_path):
     assert res["bbox_mAP_50"] >= 0.40, res  # calibrated 0.73 @ epoch 29
 
 
+@_full
 @pytest.mark.slow
 def test_vitdet_convergence_gate(tmp_path):
     res = _train_and_eval(
