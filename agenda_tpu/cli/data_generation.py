@@ -92,14 +92,14 @@ def main(argv=None):
 
     words = all_word_token_heatmaps or None
     seeds = list(range(args.start_seed, args.start_seed + args.num_images))
-    for i in progress(range(0, len(seeds), args.batch_size), desc="generate"):
-        batch_seeds = seeds[i : i + args.batch_size]
+
+    def dispatch(batch_seeds):
         # Keep a static batch shape for the compiled sampler: pad the tail.
         padded = batch_seeds + [batch_seeds[-1]] * (args.batch_size - len(batch_seeds))
         # Per-word heatmaps come back as normalized uint8 computed on device
         # (minimal host transfer; identical math to the reference's
         # normalize->uint8 at data_generation.py:80-84).
-        images, word_maps = pipeline(
+        return pipeline.generate_async(
             prompt,
             padded,
             num_inference_steps=args.num_inference_steps,
@@ -109,13 +109,15 @@ def main(argv=None):
             words=words,
             out_size=args.image_size,
         )
+
+    def write(batch_seeds, result):
+        images, word_maps = result()
         for j, seed in enumerate(batch_seeds):
-            img = Image.fromarray(images[j])
-            if np.max(np.asarray(img)) < 1e-5:
+            if images[j].max() < 1:
                 # All-black output guard (reference NSFW-filter skip,
                 # data_generation.py:61-62).
                 continue
-            img.save(os.path.join(img_dir, f"{seed}.png"))
+            Image.fromarray(images[j]).save(os.path.join(img_dir, f"{seed}.png"))
             for word in all_word_token_heatmaps:
                 arr = Image.fromarray(word_maps[word][j]).resize(
                     (args.image_size, args.image_size)
@@ -123,6 +125,19 @@ def main(argv=None):
                 arr.save(
                     os.path.join(args.save_dir, f"daam_{word}_heatmaps", f"{seed}.png")
                 )
+
+    # One batch in flight: while the device samples batch i+1, the host
+    # encodes/writes batch i's PNGs (the device would otherwise idle for the
+    # full PNG-encode time every batch).
+    pending = None
+    for i in progress(range(0, len(seeds), args.batch_size), desc="generate"):
+        batch_seeds = seeds[i : i + args.batch_size]
+        result = dispatch(batch_seeds)
+        if pending is not None:
+            write(*pending)
+        pending = (batch_seeds, result)
+    if pending is not None:
+        write(*pending)
 
 
 if __name__ == "__main__":

@@ -323,6 +323,41 @@ class StableDiffusionPipeline:
         dict {word: uint8 (B, latent_hw, latent_hw)} of min-max-normalized
         per-word heatmaps, fully computed on device (minimal host transfer).
         """
+        return self.generate_async(
+            prompt,
+            seeds,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            collect_heatmaps=collect_heatmaps,
+            negative_prompt=negative_prompt,
+            height=height,
+            width=width,
+            words=words,
+            out_size=out_size,
+        )()
+
+    def generate_async(
+        self,
+        prompt: str,
+        seeds: Sequence[int],
+        num_inference_steps: int = 20,
+        guidance_scale: float = 7.5,
+        collect_heatmaps: bool = False,
+        negative_prompt: str = "",
+        height: int = 512,
+        width: int = 512,
+        words: Optional[Sequence[str]] = None,
+        out_size: int = 0,
+    ):
+        """Dispatch one batch without blocking; call the returned thunk for
+        the ``__call__`` result.
+
+        JAX dispatch is asynchronous: the sampler starts on device as soon as
+        this returns, so a caller can overlap host work (PNG encode/write) for
+        batch i with device compute for batch i+1 — the production shape of
+        the 10k-image generation loop (reference: strictly serial batch-1
+        python loop, ``data_generation/data_generation.py:56``).
+        """
         b = len(seeds)
         word_ids = word_mask = None
         if words:
@@ -370,11 +405,14 @@ class StableDiffusionPipeline:
             num_inference_steps,
             out_size,
         )
-        images = np.asarray(images)
-        if words:
-            wm = np.asarray(word_maps)
-            return images, {w: wm[:, i] for i, w in enumerate(words)}
-        return images, (np.asarray(heatmaps) if collect_heatmaps else None)
+        def materialize():
+            imgs = np.asarray(images)
+            if words:
+                wm = np.asarray(word_maps)
+                return imgs, {w: wm[:, i] for i, w in enumerate(words)}
+            return imgs, (np.asarray(heatmaps) if collect_heatmaps else None)
+
+        return materialize
 
     # -- heatmap post-processing -------------------------------------------
 

@@ -14,16 +14,22 @@ import os
 # sitecustomize; tests must run on the local CPU backend, so override the
 # platform through jax.config (which wins as long as no device has been
 # touched yet) rather than env setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# AGENDA_TPU_TESTS=1 keeps the real TPU backend instead, for the @tpu-marked
+# strict-tolerance tests: AGENDA_TPU_TESTS=1 pytest -m tpu tests/
+_ON_TPU = os.environ.get("AGENDA_TPU_TESTS") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not _ON_TPU:
+    assert jax.default_backend() == "cpu", jax.default_backend()
