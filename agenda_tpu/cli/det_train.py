@@ -65,7 +65,7 @@ def main(argv=None):
         val = (DatasetSpec(args.val_root, args.val_ann, args.val_prefix)
                if args.val_root else None)
         cfg = preset(args.preset, args.detector, train, val=val,
-                     output_dir=args.work_dir, pretrained=args.pretrained)
+                     output_dir=args.work_dir)
     if args.pretrained is not None:
         cfg.pretrained = args.pretrained
     if args.max_epochs is not None:

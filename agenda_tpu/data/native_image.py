@@ -20,16 +20,26 @@ from typing import Optional, Tuple
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libagenda_native.so")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libagenda_image.so")
 
 
 @functools.cache
 def _load() -> Optional[ctypes.CDLL]:
-    # reuse the detect.native auto-build (same .so)
-    from agenda_tpu.detect.native import _load as _build
+    # Own .so (needs libpng/libjpeg/zlib); built separately from the
+    # dependency-free eval kernels so either can exist without the other.
+    if os.environ.get("AGENDA_TPU_NO_NATIVE"):
+        return None
+    try:
+        import subprocess
 
-    lib = _build()
-    if lib is None:
+        src = os.path.join(_NATIVE_DIR, "image_ops.cc")
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+        ):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libagenda_image.so"],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_LIB_PATH)
+    except Exception:
         return None
     u8 = ctypes.POINTER(ctypes.c_uint8)
     f32 = ctypes.POINTER(ctypes.c_float)
@@ -58,9 +68,19 @@ def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _lib_or_raise() -> ctypes.CDLL:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native image library unavailable (toolchain or libpng/libjpeg "
+            "missing); use load_rgb() for the PIL-fallback path"
+        )
+    return lib
+
+
 def read_header(data: bytes) -> Tuple[int, int]:
     """(width, height) from PNG/JPEG bytes."""
-    lib = _load()
+    lib = _lib_or_raise()
     buf = np.frombuffer(data, np.uint8)
     w = ctypes.c_int32(0)
     h = ctypes.c_int32(0)
@@ -72,7 +92,7 @@ def read_header(data: bytes) -> Tuple[int, int]:
 
 def decode(data: bytes) -> np.ndarray:
     """PNG/JPEG bytes -> (H, W, 3) uint8 RGB."""
-    lib = _load()
+    lib = _lib_or_raise()
     w, h = read_header(data)
     out = np.empty((h, w, 3), np.uint8)
     buf = np.frombuffer(data, np.uint8)
@@ -84,7 +104,7 @@ def decode(data: bytes) -> np.ndarray:
 
 def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """(H, W, 3) uint8 -> (out_h, out_w, 3) uint8, PIL BILINEAR semantics."""
-    lib = _load()
+    lib = _lib_or_raise()
     img = np.ascontiguousarray(img, np.uint8)
     out = np.empty((out_h, out_w, 3), np.uint8)
     rc = lib.resize_bilinear_rgb8(_u8p(img), img.shape[0], img.shape[1],

@@ -50,7 +50,9 @@ class DetectionConfig:
     test_dataset: Optional[DatasetSpec] = None
     img_scale: Tuple[int, int] = (128, 128)
     max_gt: int = 64
-    flip_prob: float = 0.5
+    # Legacy knob kept for round-1 config compat: None defers to
+    # aug.flip_prob; a float overrides it.
+    flip_prob: Optional[float] = None
     aug: AugConfig = dataclasses.field(default_factory=AugConfig)
     # Path to a torch checkpoint (mmdet/mmyolo/torchvision .pth) to initialize
     # from — the reference's `load_from` (Real_Source/faster-rcnn.py:37).
@@ -75,6 +77,9 @@ class DetectionConfig:
             a = d["aug"]
             a["lsj_ratio_range"] = tuple(a.get("lsj_ratio_range", (0.1, 2.0)))
             d["aug"] = AugConfig(**a)
+            # JSONs that carry an AugConfig express flip intent there; the
+            # serialized legacy top-level flip_prob must not clobber it.
+            d.pop("flip_prob", None)
         # round-1 compat: old float-prob fields map onto an AugConfig
         legacy = {k: d.pop(k) for k in ("mosaic_prob", "mixup_prob", "hsv_prob")
                   if k in d}
@@ -100,7 +105,7 @@ class DetectionConfig:
         from agenda_tpu.detect.dataset import CocoDetDataset, ConcatDataset
 
         aug = dataclasses.replace(self.aug, flip_prob=self.flip_prob) \
-            if self.flip_prob != self.aug.flip_prob else self.aug
+            if self.flip_prob is not None else self.aug
         parts = [
             CocoDetDataset(
                 s.data_root, s.ann_file, s.data_prefix, self.img_scale, self.max_gt,

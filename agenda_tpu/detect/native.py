@@ -25,13 +25,14 @@ def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("AGENDA_TPU_NO_NATIVE"):
         return None
     try:
-        sources = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
-                   if f.endswith(".cc")]
-        if not os.path.exists(_LIB_PATH) or any(
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(s) for s in sources
+        # Build only our own target: the image lib needs libpng/libjpeg and
+        # must not take the dependency-free eval kernels down with it.
+        src = os.path.join(_NATIVE_DIR, "coco_eval.cc")
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
         ):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libagenda_native.so"],
+                           check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
     except Exception:
         return None

@@ -167,14 +167,21 @@ class DetectorRunner:
             batch_stats = loaded.get("batch_stats", batch_stats)
             resume_ema = loaded.get("ema_params")
             # Full mmengine-style resume: optimizer moments + epoch/step
-            # counters ride in a train_state file next to the weights.
+            # counters ride in a train_state sidecar that is written together
+            # with latest.safetensors each epoch — it matches ONLY that file.
+            # Resuming a best_*.safetensors (saved at some earlier epoch) must
+            # not pair those weights with latest's optimizer state.
             ts_base = os.path.join(os.path.dirname(os.path.abspath(resume)),
                                    "train_state")
-            if os.path.exists(ts_base + ".safetensors"):
+            is_latest = os.path.basename(resume) == "latest.safetensors"
+            if is_latest and os.path.exists(ts_base + ".safetensors"):
                 opt_state, last_epoch, gstep = self._load_train_state(ts_base, opt_state)
                 start_epoch = last_epoch + 1
                 logger.info("resumed optimizer/epoch state: epoch %d, step %d",
                             start_epoch, gstep)
+            elif not is_latest:
+                logger.info("%s is not latest.safetensors: weights-only resume "
+                            "(train_state sidecar only matches latest)", resume)
             else:
                 logger.info("no train_state next to %s: weights-only resume",
                             resume)

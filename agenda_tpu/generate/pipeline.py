@@ -152,7 +152,8 @@ class StableDiffusionPipeline:
     def _latents_fn(self):
         # One jitted program for the whole seed batch (vs one eager
         # normal-dispatch per seed). vmapped jax.random.key(seed) produces
-        # bit-identical draws to the per-seed eager path.
+        # bit-identical draws to the per-seed eager path for seeds in
+        # [0, 2^32) (the caller wraps others mod 2^32).
         def f(seeds, lh, lw):
             keys = jax.vmap(jax.random.key)(seeds)
             return jax.vmap(
@@ -378,7 +379,11 @@ class StableDiffusionPipeline:
         f = self.vae_scale_factor
         lh, lw = height // f, width // f
         latents0 = self._latents_fn(
-            jnp.asarray([int(s) for s in seeds], jnp.uint32), lh, lw)
+            # Seeds are taken mod 2^32 (the vmapped jax.random.key path wants
+            # one uint32 word). Negative / >=2^32 seeds would otherwise crash
+            # numpy's uint32 cast; the wrap is explicit and documented — the
+            # CLI only ever produces seeds in [0, num_images + start_seed).
+            jnp.asarray([int(s) & 0xFFFFFFFF for s in seeds], jnp.uint32), lh, lw)
 
         if self.mesh is not None:
             # Shard the seed batch over the dp axis: the jitted sampler then

@@ -380,3 +380,29 @@ def test_runner_resume_restores_full_state(tmp_path):
     raw2 = _read_tensor_file(os.path.join(work, "train_state"))
     assert int(raw2["epoch"]) == 3
     assert int(raw2["gstep"]) == 4 * steps_per_epoch
+
+
+def test_config_aug_flip_prob_not_clobbered(tmp_path):
+    """aug.flip_prob is authoritative; the legacy top-level flip_prob only
+    applies when explicitly set, and a serialized legacy value never
+    overrides a JSON's AugConfig (code-review regression)."""
+    from agenda_tpu.detect.augment import AugConfig
+    from agenda_tpu.detect.configs import DatasetSpec, DetectionConfig
+
+    root = str(tmp_path)
+    _make_square_dataset(root, n_images=1)
+    spec = DatasetSpec(root, "ann.json", "images/")
+
+    cfg = DetectionConfig(train_datasets=[spec],
+                          aug=AugConfig(flip_prob=0.0))
+    assert cfg.build_train_dataset().aug.flip_prob == 0.0
+
+    # explicit legacy override still works
+    cfg2 = DetectionConfig(train_datasets=[spec], flip_prob=0.25)
+    assert cfg2.build_train_dataset().aug.flip_prob == 0.25
+
+    # JSON roundtrip: the serialized legacy field must not clobber aug
+    p = os.path.join(root, "cfg.json")
+    cfg.to_json(p)
+    loaded = DetectionConfig.from_json(p)
+    assert loaded.build_train_dataset().aug.flip_prob == 0.0
