@@ -108,9 +108,9 @@ def main(argv=None):
     from agenda_tpu.models import AutoencoderKL, CLIPTextModel, UNet2DConditionModel
     from agenda_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_params_fsdp
     from agenda_tpu.train.checkpoint import (
+        AsyncCheckpointer,
         find_resume_checkpoint,
         load_checkpoint,
-        save_checkpoint,
     )
     from agenda_tpu.train.finetune_sd import (
         LossConfig,
@@ -258,6 +258,7 @@ def main(argv=None):
     accum = args.gradient_accumulation_steps
     micro_in_step = 0
     timer = StepTimer()
+    ckpt_writer = AsyncCheckpointer()
     with maybe_profile(args.profile_dir):
         done = False
         for epoch in range(args.num_train_epochs):
@@ -285,16 +286,18 @@ def main(argv=None):
                     logger.info("step %d: loss=%.5f (%.2f img/s)", global_step,
                                 m["loss"], m["images_per_sec"])
                 if global_step % args.checkpointing_steps == 0:
-                    path = save_checkpoint(args.output_dir, global_step,
-                                           bundle.unet_config, state,
-                                           args.checkpoints_total_limit)
-                    logger.info("Saved state to %s", path)
+                    ckpt_writer.save(args.output_dir, global_step,
+                                     bundle.unet_config, state,
+                                     args.checkpoints_total_limit)
+                    logger.info("Saving state to %s/checkpoint-%d (async)",
+                                args.output_dir, global_step)
                 if args.validation_prompts and global_step % args.validation_steps == 0:
                     run_validation(global_step)
                 if global_step >= args.max_train_steps:
                     done = True
                     break
 
+    ckpt_writer.wait()  # surface any pending checkpoint-write error
     # Final export: full diffusers pipeline (finetune_sd.py:896-911).
     final_params = state.ema.params if (args.use_ema and state.ema is not None) else state.params
     save_pipeline(

@@ -127,6 +127,7 @@ def main(argv=None):
     from agenda_tpu.models.clip_text import CLIPTextConfig
     from agenda_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from agenda_tpu.train.checkpoint import (
+        AsyncWriter,
         find_resume_checkpoint,
         rotate_checkpoints,
     )
@@ -339,34 +340,48 @@ def main(argv=None):
                            height=args.resolution, width=args.resolution)
             tracker.log_images(f"validation/{formatted}", imgs, step)
 
+    ckpt_writer = AsyncWriter()
+
     def save_ckpt(step):
-        import shutil
+        # Snapshot on the training thread (D2H copies only), write the files
+        # on the AsyncWriter thread so the chip keeps training.
+        unet_sd = unet_flax_to_torch(current_unet_params())
+        embedding = np.asarray(state.embedding) if args.train_token else None
+        opt_snap = jax.tree.map(np.asarray, state.opt_state)
+        step_snap = np.asarray(state.step)
 
-        import orbax.checkpoint as ocp
+        def write():
+            import shutil
 
-        rotate_checkpoints(args.output_dir, args.checkpoints_total_limit)
-        path = os.path.join(args.output_dir, f"checkpoint-{step}")
-        unet_dir = os.path.join(path, "unet")
-        os.makedirs(unet_dir, exist_ok=True)
-        from agenda_tpu.io.diffusers_io import unet_config_to_json, _write_safetensors
-        with open(os.path.join(unet_dir, "config.json"), "w") as f:
-            json.dump(unet_config_to_json(unet_cfg), f, indent=2)
-        _write_safetensors(os.path.join(unet_dir, "diffusion_pytorch_model.safetensors"),
-                           unet_flax_to_torch(current_unet_params()))
-        if args.train_token:
-            save_learned_embeddings(
-                object_tokens, np.asarray(state.embedding),
-                os.path.join(path, f"learned_embeds_steps_{step}.bin"))
-        # Optimizer state + step so resume continues the schedule/moments
-        # (accelerate save_state semantics).
-        ts_path = os.path.join(path, "train_state")
-        if os.path.exists(ts_path):
-            shutil.rmtree(ts_path)
-        ocp.PyTreeCheckpointer().save(
-            os.path.abspath(ts_path),
-            {"opt_state": state.opt_state, "step": state.step},
-        )
-        logger.info("Saved state to %s", path)
+            import orbax.checkpoint as ocp
+
+            rotate_checkpoints(args.output_dir, args.checkpoints_total_limit)
+            final_path = os.path.join(args.output_dir, f"checkpoint-{step}")
+            path = os.path.join(args.output_dir, f".tmp-checkpoint-{step}")
+            for stale in (path, final_path):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+            unet_dir = os.path.join(path, "unet")
+            os.makedirs(unet_dir)
+            from agenda_tpu.io.diffusers_io import unet_config_to_json, _write_safetensors
+            with open(os.path.join(unet_dir, "config.json"), "w") as f:
+                json.dump(unet_config_to_json(unet_cfg), f, indent=2)
+            _write_safetensors(
+                os.path.join(unet_dir, "diffusion_pytorch_model.safetensors"), unet_sd)
+            if embedding is not None:
+                save_learned_embeddings(
+                    object_tokens, embedding,
+                    os.path.join(path, f"learned_embeds_steps_{step}.bin"))
+            # Optimizer state + step so resume continues the schedule/moments
+            # (accelerate save_state semantics).
+            ocp.PyTreeCheckpointer().save(
+                os.path.abspath(os.path.join(path, "train_state")),
+                {"opt_state": opt_snap, "step": step_snap},
+            )
+            os.rename(path, final_path)  # resume never sees a partial dir
+            logger.info("Saved state to %s", final_path)
+
+        ckpt_writer.submit(write, name=f"ckpt-write-{step}")
 
     # global_step counts optimizer updates; with --gradient_accumulation_steps
     # N every N micro-batches advance it once, and checkpoint/validation/
@@ -410,6 +425,7 @@ def main(argv=None):
                     done = True
                     break
 
+    ckpt_writer.wait()  # surface any pending checkpoint-write error
     # Final artifacts (finetune_sd_token.py:1175-1187).
     if args.train_token:
         save_learned_embeddings(

@@ -53,6 +53,79 @@ def rotate_checkpoints(output_dir: str, total_limit: Optional[int]) -> None:
             shutil.rmtree(path)
 
 
+def _snapshot_state(state, ema_as_unet_ema: bool) -> dict:
+    """Device -> host copies of everything a checkpoint writes.
+
+    JAX arrays are immutable, so snapshotting at step N stays valid while the
+    training loop races ahead; np.asarray blocks only until step N's values
+    are ready."""
+    return {
+        "params": jax.tree.map(np.asarray, state.params),
+        "ema_params": (
+            jax.tree.map(np.asarray, state.ema.params)
+            if (ema_as_unet_ema and state.ema is not None)
+            else None
+        ),
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        "step": np.asarray(state.step),
+        "ema_step": None if state.ema is None else np.asarray(state.ema.step),
+    }
+
+
+def _write_checkpoint(
+    output_dir: str,
+    step: int,
+    unet_config,
+    snap: dict,
+    total_limit: Optional[int],
+) -> str:
+    """Pure host-side write from a snapshot; atomic via tmp-dir + rename."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    rotate_checkpoints(output_dir, total_limit)
+    final_path = os.path.join(output_dir, f"checkpoint-{step}")
+    path = os.path.join(output_dir, f".tmp-checkpoint-{step}")
+    for stale in (path, final_path):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    os.makedirs(path)
+
+    # Model in diffusers format (save-hook semantics, finetune_sd.py:555-564).
+    unet_dir = os.path.join(path, "unet")
+    os.makedirs(unet_dir, exist_ok=True)
+    with open(os.path.join(unet_dir, "config.json"), "w") as f:
+        json.dump(unet_config_to_json(unet_config), f, indent=2)
+    _write_safetensors(
+        os.path.join(unet_dir, "diffusion_pytorch_model.safetensors"),
+        unet_flax_to_torch({"params": snap["params"]}),
+    )
+
+    if snap["ema_params"] is not None:
+        ema_dir = os.path.join(path, "unet_ema")
+        os.makedirs(ema_dir, exist_ok=True)
+        with open(os.path.join(ema_dir, "config.json"), "w") as f:
+            json.dump(unet_config_to_json(unet_config), f, indent=2)
+        _write_safetensors(
+            os.path.join(ema_dir, "diffusion_pytorch_model.safetensors"),
+            unet_flax_to_torch({"params": snap["ema_params"]}),
+        )
+
+    # Optimizer / step / EMA-counter state via orbax.
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(
+        os.path.abspath(os.path.join(path, "train_state")),
+        {
+            "opt_state": snap["opt_state"],
+            "step": snap["step"],
+            "ema_step": snap["ema_step"],
+        },
+    )
+    os.rename(path, final_path)  # resume never sees a partial checkpoint
+    return final_path
+
+
 def save_checkpoint(
     output_dir: str,
     step: int,
@@ -62,49 +135,67 @@ def save_checkpoint(
     ema_as_unet_ema: bool = True,
 ) -> str:
     """Write checkpoint-{step}/{unet/, unet_ema/, train_state/}. Returns path."""
-    import json
+    snap = _snapshot_state(state, ema_as_unet_ema)
+    return _write_checkpoint(output_dir, step, unet_config, snap, total_limit)
 
-    import orbax.checkpoint as ocp
 
-    rotate_checkpoints(output_dir, total_limit)
-    path = os.path.join(output_dir, f"checkpoint-{step}")
-    os.makedirs(path, exist_ok=True)
+class AsyncWriter:
+    """One background file-IO job in flight; submit() joins the previous one
+    first and ``wait()`` re-raises any writer exception on the caller."""
 
-    # Model in diffusers format (save-hook semantics, finetune_sd.py:555-564).
-    unet_dir = os.path.join(path, "unet")
-    os.makedirs(unet_dir, exist_ok=True)
-    with open(os.path.join(unet_dir, "config.json"), "w") as f:
-        json.dump(unet_config_to_json(unet_config), f, indent=2)
-    params_np = jax.tree.map(np.asarray, state.params)
-    _write_safetensors(
-        os.path.join(unet_dir, "diffusion_pytorch_model.safetensors"),
-        unet_flax_to_torch({"params": params_np}),
-    )
+    def __init__(self):
+        self._thread = None
+        self._result = None
+        self._error = None
 
-    if ema_as_unet_ema and state.ema is not None:
-        ema_dir = os.path.join(path, "unet_ema")
-        os.makedirs(ema_dir, exist_ok=True)
-        with open(os.path.join(ema_dir, "config.json"), "w") as f:
-            json.dump(unet_config_to_json(unet_config), f, indent=2)
-        _write_safetensors(
-            os.path.join(ema_dir, "diffusion_pytorch_model.safetensors"),
-            unet_flax_to_torch({"params": jax.tree.map(np.asarray, state.ema.params)}),
+    def submit(self, fn, name: str = "ckpt-write") -> None:
+        import threading
+
+        self.wait()  # serialize writes; surfaces a prior write's exception
+
+        def run():
+            try:
+                self._result = fn()
+            except BaseException as e:  # re-raised from wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=run, name=name)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        return self._result
+
+
+class AsyncCheckpointer(AsyncWriter):
+    """Checkpoint writes off the training thread, one in flight.
+
+    ``save`` snapshots device state to host (cheap: blocks only for the D2H
+    copy) and hands the multi-GB safetensors/orbax file IO to a writer
+    thread, so the accelerator keeps training through the write — the
+    reference's ``accelerator.save_state`` stalls every process for the full
+    write (``finetune_sd.py:864-866``). ``wait()`` joins the pending write
+    (call before reading the checkpoint back or exiting)."""
+
+    def save(
+        self,
+        output_dir: str,
+        step: int,
+        unet_config,
+        state,
+        total_limit: Optional[int] = None,
+        ema_as_unet_ema: bool = True,
+    ) -> None:
+        snap = _snapshot_state(state, ema_as_unet_ema)
+        self.submit(
+            lambda: _write_checkpoint(output_dir, step, unet_config, snap, total_limit),
+            name=f"ckpt-write-{step}",
         )
-
-    # Optimizer / step / EMA-counter state via orbax.
-    ckptr = ocp.PyTreeCheckpointer()
-    train_state_path = os.path.join(path, "train_state")
-    if os.path.exists(train_state_path):
-        shutil.rmtree(train_state_path)
-    ckptr.save(
-        os.path.abspath(train_state_path),
-        {
-            "opt_state": state.opt_state,
-            "step": state.step,
-            "ema_step": None if state.ema is None else state.ema.step,
-        },
-    )
-    return path
 
 
 def find_resume_checkpoint(output_dir: str, resume_from: str) -> Optional[Tuple[int, str]]:

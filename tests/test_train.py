@@ -201,3 +201,50 @@ def test_dryrun_multichip_8dev():
 
     assert len(jax.devices()) >= 8
     ge.dryrun_multichip(8)
+
+
+def test_async_checkpointer(tiny_setup, tmp_path):
+    """AsyncCheckpointer: background writes land atomically (no .tmp dirs
+    visible as checkpoints), serialize one-in-flight, and load back
+    identically to the sync path."""
+    from agenda_tpu.train.checkpoint import (
+        AsyncCheckpointer,
+        find_resume_checkpoint,
+        list_checkpoints,
+        load_checkpoint,
+    )
+
+    t = tiny_setup
+    schedule = make_schedule()
+    tx = make_optimizer(lr_schedule("constant", 1e-3, 0, 100))
+    state = init_train_state(t["unet_params"], tx, use_ema=True)
+    step_fn = jax.jit(make_train_step(t["unet"], t["vae"], t["text"], schedule, tx,
+                                      LossConfig(), use_ema=True))
+    batch = jax.tree.map(jnp.asarray, make_batch(2, t["unet_cfg"].sample_size))
+    state, _ = step_fn(state, t["vae_params"], t["text_params"], batch, jax.random.key(0))
+
+    out = str(tmp_path / "run")
+    w = AsyncCheckpointer()
+    w.save(out, 1, t["unet_cfg"], state, total_limit=2)
+    # training continues while the write is in flight
+    state2, _ = step_fn(state, t["vae_params"], t["text_params"], batch, jax.random.key(0))
+    w.save(out, 2, t["unet_cfg"], state2, total_limit=2)  # joins write 1 first
+    path = w.wait()
+    assert path.endswith("checkpoint-2")
+    assert [c[0] for c in list_checkpoints(out)] == [1, 2]
+    assert not [d for d in os.listdir(out) if d.startswith(".tmp-")]
+
+    found = find_resume_checkpoint(out, "latest")
+    template = init_train_state(t["unet_params"], tx, use_ema=True)
+    restored = load_checkpoint(found[1], template)
+    assert int(restored.step) == int(state2.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # writer errors surface on wait()
+    import pytest as _pytest
+
+    w2 = AsyncCheckpointer()
+    w2.submit(lambda: (_ for _ in ()).throw(IOError("disk full")))
+    with _pytest.raises(IOError):
+        w2.wait()
