@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from agenda_tpu.models.layers import (
     Downsample2D,
+    GroupNormAct,
     ResnetBlock2D,
     TimestepEmbedding,
     Transformer2D,
@@ -301,7 +302,7 @@ class UNet2DConditionModel(nn.Module):
             else:
                 raise ValueError(f"Unknown up block {block_type}")
 
-        x = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-5, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNormAct(num_groups=min(32, x.shape[-1]), epsilon=1e-5, act="silu",
+                         dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x.astype(jnp.float32), (maps if collect_attn else None)
