@@ -259,7 +259,7 @@ def main(argv=None):
     micro_in_step = 0
     timer = StepTimer()
     ckpt_writer = AsyncCheckpointer()
-    with maybe_profile(args.profile_dir):
+    with maybe_profile(args.profile_dir), ckpt_writer:
         done = False
         for epoch in range(args.num_train_epochs):
             if done:

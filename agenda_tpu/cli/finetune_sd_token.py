@@ -128,8 +128,8 @@ def main(argv=None):
     from agenda_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from agenda_tpu.train.checkpoint import (
         AsyncWriter,
+        atomic_checkpoint_dir,
         find_resume_checkpoint,
-        rotate_checkpoints,
     )
     from agenda_tpu.train.finetune_sd_token import (
         TokenLossConfig,
@@ -350,17 +350,9 @@ def main(argv=None):
         opt_snap = jax.tree.map(np.asarray, state.opt_state)
         step_snap = np.asarray(state.step)
 
-        def write():
-            import shutil
-
+        def payload(path):
             import orbax.checkpoint as ocp
 
-            rotate_checkpoints(args.output_dir, args.checkpoints_total_limit)
-            final_path = os.path.join(args.output_dir, f"checkpoint-{step}")
-            path = os.path.join(args.output_dir, f".tmp-checkpoint-{step}")
-            for stale in (path, final_path):
-                if os.path.exists(stale):
-                    shutil.rmtree(stale)
             unet_dir = os.path.join(path, "unet")
             os.makedirs(unet_dir)
             from agenda_tpu.io.diffusers_io import unet_config_to_json, _write_safetensors
@@ -378,7 +370,10 @@ def main(argv=None):
                 os.path.abspath(os.path.join(path, "train_state")),
                 {"opt_state": opt_snap, "step": step_snap},
             )
-            os.rename(path, final_path)  # resume never sees a partial dir
+
+        def write():
+            final_path = atomic_checkpoint_dir(
+                args.output_dir, step, args.checkpoints_total_limit, payload)
             logger.info("Saved state to %s", final_path)
 
         ckpt_writer.submit(write, name=f"ckpt-write-{step}")
@@ -390,7 +385,7 @@ def main(argv=None):
     accum = args.gradient_accumulation_steps
     micro_in_step = 0
     timer = StepTimer()
-    with maybe_profile(args.profile_dir):
+    with maybe_profile(args.profile_dir), ckpt_writer:
         done = False
         for epoch in range(args.num_train_epochs):
             if done:

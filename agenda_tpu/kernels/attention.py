@@ -106,6 +106,4 @@ def attention(
     return attention_reference(q, k, v, mask)
 
 
-@functools.cache
-def _on_tpu() -> bool:
-    return jax.default_backend() not in ("cpu",)
+from agenda_tpu.kernels._backend import on_tpu as _on_tpu

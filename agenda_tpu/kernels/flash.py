@@ -38,8 +38,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() not in ("cpu",)
+from agenda_tpu.kernels._backend import on_tpu as _on_tpu
 
 
 def _interpret() -> bool:

@@ -37,9 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _on_tpu() -> bool:
-    return jax.default_backend() not in ("cpu",)
+from agenda_tpu.kernels._backend import on_tpu as _on_tpu
 
 
 # VMEM budget for the resident slab: Mosaic double-buffers the (1, HW, C)
@@ -206,3 +204,15 @@ def _bwd(groups, eps, act, res, g):
 
 
 group_norm_act.defvjp(_fwd, _bwd)
+
+
+def group_norm_act_auto(x, scale, bias, groups: int, eps: float,
+                        act: Optional[str] = None):
+    """Model-facing entry: only route through the custom_vjp kernel when it
+    can actually run — otherwise use the reference directly so XLA's native
+    autodiff reuses forward intermediates (the custom_vjp backward recomputes
+    the forward, which would tax the DEFAULT path the opt-in gate is meant to
+    leave untouched)."""
+    if _kernel_enabled() and _on_tpu():
+        return group_norm_act(x, scale, bias, groups, eps, act)
+    return group_norm_act_reference(x, scale, bias, groups, eps, act)

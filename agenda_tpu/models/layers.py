@@ -22,7 +22,7 @@ from agenda_tpu.kernels.attention import (
     attention_reference,
     cross_attention_with_probs,
 )
-from agenda_tpu.kernels.groupnorm import group_norm_act
+from agenda_tpu.kernels.groupnorm import group_norm_act_auto
 
 
 def timestep_embedding(
@@ -71,7 +71,7 @@ class GroupNormAct(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm_act(
+        return group_norm_act_auto(
             x.astype(self.dtype), scale, bias, self.num_groups, self.epsilon, self.act
         )
 

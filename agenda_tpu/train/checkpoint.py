@@ -72,6 +72,35 @@ def _snapshot_state(state, ema_as_unet_ema: bool) -> dict:
     }
 
 
+def atomic_checkpoint_dir(
+    output_dir: str,
+    step: int,
+    total_limit: Optional[int],
+    payload_fn,
+) -> str:
+    """Write a checkpoint-{step}/ directory atomically.
+
+    Sweeps stale ``.tmp-checkpoint-*`` orphans from crashed runs (they are
+    invisible to list_checkpoints/rotation and would leak disk), rotates,
+    writes the payload into a tmp dir, and only deletes any pre-existing
+    checkpoint-{step} immediately before the rename — a crash mid-write
+    leaves the old checkpoint intact, never a partial one.
+    """
+    if os.path.isdir(output_dir):
+        for d in os.listdir(output_dir):
+            if d.startswith(".tmp-checkpoint-"):
+                shutil.rmtree(os.path.join(output_dir, d), ignore_errors=True)
+    rotate_checkpoints(output_dir, total_limit)
+    final_path = os.path.join(output_dir, f"checkpoint-{step}")
+    path = os.path.join(output_dir, f".tmp-checkpoint-{step}")
+    os.makedirs(path)
+    payload_fn(path)
+    if os.path.exists(final_path):
+        shutil.rmtree(final_path)
+    os.rename(path, final_path)  # resume never sees a partial checkpoint
+    return final_path
+
+
 def _write_checkpoint(
     output_dir: str,
     step: int,
@@ -80,17 +109,16 @@ def _write_checkpoint(
     total_limit: Optional[int],
 ) -> str:
     """Pure host-side write from a snapshot; atomic via tmp-dir + rename."""
+    return atomic_checkpoint_dir(
+        output_dir, step, total_limit,
+        lambda path: _write_payload(path, step, unet_config, snap),
+    )
+
+
+def _write_payload(path: str, step: int, unet_config, snap: dict) -> None:
     import json
 
     import orbax.checkpoint as ocp
-
-    rotate_checkpoints(output_dir, total_limit)
-    final_path = os.path.join(output_dir, f"checkpoint-{step}")
-    path = os.path.join(output_dir, f".tmp-checkpoint-{step}")
-    for stale in (path, final_path):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-    os.makedirs(path)
 
     # Model in diffusers format (save-hook semantics, finetune_sd.py:555-564).
     unet_dir = os.path.join(path, "unet")
@@ -122,8 +150,6 @@ def _write_checkpoint(
             "ema_step": snap["ema_step"],
         },
     )
-    os.rename(path, final_path)  # resume never sees a partial checkpoint
-    return final_path
 
 
 def save_checkpoint(
@@ -152,6 +178,7 @@ class AsyncWriter:
         import threading
 
         self.wait()  # serialize writes; surfaces a prior write's exception
+        self._result = None  # wait() always reports the most recent job
 
         def run():
             try:
@@ -170,6 +197,26 @@ class AsyncWriter:
             err, self._error = self._error, None
             raise err
         return self._result
+
+    # Context manager: guarantees the pending write is joined even when the
+    # training loop raises — on clean exit write errors propagate; during
+    # exception unwind they are logged so the original error stays visible.
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.wait()
+        else:
+            try:
+                self.wait()
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "pending checkpoint write failed while unwinding another error"
+                )
+        return False
 
 
 class AsyncCheckpointer(AsyncWriter):

@@ -248,3 +248,39 @@ def test_async_checkpointer(tiny_setup, tmp_path):
     w2.submit(lambda: (_ for _ in ()).throw(IOError("disk full")))
     with _pytest.raises(IOError):
         w2.wait()
+
+
+def test_atomic_checkpoint_dir_durability(tmp_path):
+    """Crash-safety invariants: stale .tmp orphans are swept, a failed write
+    leaves the previous checkpoint-{step} intact, and re-saving a step
+    replaces it only after the new payload is fully written."""
+    from agenda_tpu.train.checkpoint import atomic_checkpoint_dir, list_checkpoints
+
+    out = str(tmp_path / "run")
+    os.makedirs(os.path.join(out, ".tmp-checkpoint-7"))  # crashed-run orphan
+
+    def payload_v1(path):
+        with open(os.path.join(path, "w.txt"), "w") as f:
+            f.write("v1")
+
+    p = atomic_checkpoint_dir(out, 5, None, payload_v1)
+    assert p.endswith("checkpoint-5")
+    assert open(os.path.join(p, "w.txt")).read() == "v1"
+    assert not [d for d in os.listdir(out) if d.startswith(".tmp-")]  # swept
+
+    # a failing rewrite of the same step must keep the old checkpoint
+    def payload_boom(path):
+        raise IOError("disk full")
+
+    with pytest.raises(IOError):
+        atomic_checkpoint_dir(out, 5, None, payload_boom)
+    assert open(os.path.join(out, "checkpoint-5", "w.txt")).read() == "v1"
+
+    # a successful rewrite replaces it
+    def payload_v2(path):
+        with open(os.path.join(path, "w.txt"), "w") as f:
+            f.write("v2")
+
+    atomic_checkpoint_dir(out, 5, None, payload_v2)
+    assert open(os.path.join(out, "checkpoint-5", "w.txt")).read() == "v2"
+    assert [c[0] for c in list_checkpoints(out)] == [5]
