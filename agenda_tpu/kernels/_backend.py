@@ -9,10 +9,10 @@ import jax
 
 @functools.cache
 def on_tpu() -> bool:
-    """True when the default backend is a TPU (incl. tunneled platforms like
-    'axon' whose device_kind reports a TPU chip). GPU/CPU backends must take
+    """True when the default backend is a TPU (incl. the tunneled 'axon'
+    platform, whose devices are real TPU chips). GPU/CPU backends must take
     the XLA fallbacks — the kernels use TPU-only Mosaic params."""
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() in ("tpu", "axon"):
         return True
     try:
         d = jax.devices()[0]
