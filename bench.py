@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -25,7 +26,18 @@ import numpy as np
 BASELINE_IMG_PER_SEC_PER_CHIP = 10000.0 / 3600.0 / 8.0
 
 
+def _watchdog(signum, frame):
+    print("# bench watchdog: no result within BENCH_TIMEOUT — device/tunnel "
+          "unresponsive, aborting instead of hanging", file=sys.stderr)
+    os._exit(2)
+
+
 def main():
+    # The tunneled TPU backend can wedge (observed: compute hangs for >1h
+    # after a failed remote compile); abort with a diagnostic instead of
+    # hanging the driver's bench run forever.
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT", "2700")))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
