@@ -214,9 +214,16 @@ def main(argv=None):
         input_perturbation=args.input_perturbation,
         prediction_type=args.prediction_type,
     )
+    # Donating the TrainState aliases params/opt/EMA buffers in-place — the
+    # difference between fitting 512^2 bs-4 (+EMA +int8 moments) on one v5e
+    # chip and OOMing by ~4 G (see STATUS "HBM envelope").
+    # AGENDA_TPU_NO_DONATE=1 opts out (one axon-tunnel build mis-executes
+    # donated+EMA steps with an InvalidArgument — tracked in STATUS).
+    donate = () if os.environ.get("AGENDA_TPU_NO_DONATE") == "1" else (0,)
     step_fn = jax.jit(
         make_train_step(unet, vae, text_encoder, schedule, tx, loss_cfg, args.use_ema,
-                        gradient_accumulation_steps=args.gradient_accumulation_steps)
+                        gradient_accumulation_steps=args.gradient_accumulation_steps),
+        donate_argnums=donate,
     )
 
     tracker = Tracker(os.path.join(args.output_dir, args.logging_dir),

@@ -292,7 +292,10 @@ def main(argv=None):
         train_token=args.train_token,
         max_grad_norm=args.max_grad_norm,
     )
-    step_fn = jax.jit(make_token_train_step(unet, vae, text_encoder, schedule, tx, loss_cfg))
+    # Donate the train state (same rationale/escape hatch as finetune_sd).
+    donate = () if os.environ.get("AGENDA_TPU_NO_DONATE") == "1" else (0,)
+    step_fn = jax.jit(make_token_train_step(unet, vae, text_encoder, schedule, tx, loss_cfg),
+                      donate_argnums=donate)
 
     tracker = Tracker(os.path.join(args.output_dir, args.logging_dir), args.report_to,
                       config=vars(args))
