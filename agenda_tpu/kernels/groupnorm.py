@@ -13,6 +13,17 @@ reshape to (HW, G, C/G) would put C/G=10..40 in the lane dim and relayout),
 then the normalize (+ optional SiLU) on a second chunked sweep over the
 VMEM-resident slab. HBM traffic: read x once, write y once.
 
+MEASURED OUTCOME (v5e, full UNet CFG forward, batch 8): the kernel itself is
+cheap — the three norm custom-calls total 3.5 ms where XLA's stat fusions
+cost 31.8 — but the custom-call boundaries break XLA's producer/consumer
+fusions around every norm (+18.7 ms %fusion, +9.8 ms %add, +2 ms %copy),
+for a NET LOSS: 129.8 ms/step vs 121.8 with flax GroupNorm (an explicit-f32
+jnp reference formulation lands between, 127.3). The model therefore
+defaults to flax GroupNorm (models/layers.GroupNormAct) and this kernel
+stays an opt-in (AGENDA_TPU_FUSED_GN=1) with the measurement recorded here:
+beating the XLA scheduler needs whole-block fusion (norm+conv), not a
+norm-only kernel.
+
 Numerics match ``flax.linen.GroupNorm(use_fast_variance=True)``: f32 E[x^2] -
 E[x]^2 statistics computed from the (bf16) input, per-channel affine, biased
 variance, epsilon inside rsqrt.
@@ -206,13 +217,17 @@ def _bwd(groups, eps, act, res, g):
 group_norm_act.defvjp(_fwd, _bwd)
 
 
+def kernel_wanted(x3, groups: int) -> bool:
+    """Should the model route this GN through the Pallas kernel? (Opt-in,
+    TPU, slab fits VMEM.) When False the caller should use flax GroupNorm —
+    measured fastest in-model (see models/layers.GroupNormAct)."""
+    return _kernel_enabled() and _on_tpu() and _supported(x3, groups)
+
+
 def group_norm_act_auto(x, scale, bias, groups: int, eps: float,
                         act: Optional[str] = None):
-    """Model-facing entry: only route through the custom_vjp kernel when it
-    can actually run — otherwise use the reference directly so XLA's native
-    autodiff reuses forward intermediates (the custom_vjp backward recomputes
-    the forward, which would tax the DEFAULT path the opt-in gate is meant to
-    leave untouched)."""
+    """Kernel when possible, reference otherwise (the reference's XLA-native
+    autodiff path avoids the custom_vjp's forward recompute)."""
     if _kernel_enabled() and _on_tpu():
         return group_norm_act(x, scale, bias, groups, eps, act)
     return group_norm_act_reference(x, scale, bias, groups, eps, act)
