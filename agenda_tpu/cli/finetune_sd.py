@@ -120,7 +120,7 @@ def main(argv=None):
     )
     from agenda_tpu.train.optim import lr_schedule, make_optimizer
     from agenda_tpu.train.trackers import Tracker
-    from agenda_tpu.utils.profiling import StepTimer, maybe_profile, progress
+    from agenda_tpu.utils.profiling import StepTimer, maybe_profile
 
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO,

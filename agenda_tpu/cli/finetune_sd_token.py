@@ -124,7 +124,6 @@ def main(argv=None):
     )
     from agenda_tpu.io.learned_embeds import load_learned_embeddings, save_learned_embeddings
     from agenda_tpu.models import AutoencoderKL, CLIPTextModel, UNet2DConditionModel
-    from agenda_tpu.models.clip_text import CLIPTextConfig
     from agenda_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from agenda_tpu.train.checkpoint import (
         AsyncWriter,

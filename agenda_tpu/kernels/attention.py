@@ -23,7 +23,6 @@ trailing feature dims; outputs match q.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -11,7 +11,7 @@ XLA tiles them straight onto the MXU.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from typing import Any, Optional, Tuple
 import jax
 import numpy as np
 
-from agenda_tpu.io.diffusers_io import save_pipeline, unet_flax_to_torch, _write_safetensors, unet_config_to_json
+from agenda_tpu.io.diffusers_io import unet_flax_to_torch, _write_safetensors, unet_config_to_json
 
 
 _CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
