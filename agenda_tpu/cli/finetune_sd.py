@@ -11,10 +11,12 @@ Differences, by design:
   TPU runtime provides coordination env vars;
 - ``--train_batch_size`` stays per-device (global = bs x n_devices x accum),
   matching accelerate semantics;
+- ``--use_8bit_adam`` wires a real int8-blockwise-moment AdamW
+  (``train/optim.py:adamw_8bit``) — the bitsandbytes-equivalent HBM saving,
+  TPU-native;
 - GPU-only knobs (``--allow_tf32``, ``--enable_xformers_memory_efficient_attention``,
-  ``--use_8bit_adam``, ``--local_rank``) are accepted for drop-in script
-  compatibility and logged as no-ops (bf16 MXU + Pallas flash attention are
-  always on);
+  ``--local_rank``) are accepted for drop-in script compatibility and logged
+  as no-ops (bf16 MXU + Pallas flash attention are always on);
 - hub upload flags are accepted but inert (zero-egress deployments).
 """
 

@@ -33,8 +33,11 @@ def _load() -> Optional[ctypes.CDLL]:
         import subprocess
 
         src = os.path.join(_NATIVE_DIR, "image_ops.cc")
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+        # In an installed tree that ships only the prebuilt .so, the source
+        # is absent — use the existing library as-is rather than rebuilding.
+        if os.path.exists(src) and (
+            not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
         ):
             subprocess.run(["make", "-C", _NATIVE_DIR, "libagenda_image.so"],
                            check=True, capture_output=True, timeout=120)

@@ -60,8 +60,16 @@ class DetectionConfig:
     runner: RunnerConfig = dataclasses.field(default_factory=RunnerConfig)
 
     def to_json(self, path: str) -> None:
+        d = dataclasses.asdict(self)
+        # A legacy top-level flip_prob override is authoritative over
+        # aug.flip_prob (see build_train_dataset); fold it into the aug block
+        # so a to_json/from_json roundtrip preserves the effective value.
+        if d.get("flip_prob") is not None and d.get("aug"):
+            d["aug"]["flip_prob"] = d.pop("flip_prob")
+        else:
+            d.pop("flip_prob", None)
         with open(path, "w") as f:
-            json.dump(dataclasses.asdict(self), f, indent=2)
+            json.dump(d, f, indent=2)
 
     @classmethod
     def from_json(cls, path: str) -> "DetectionConfig":

@@ -135,6 +135,10 @@ def main():
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
     }
     print(json.dumps(result))
+    sys.stdout.flush()
+    # Result is out — disarm the watchdog so slow teardown (e.g. a wedged
+    # tunnel shutdown) can't turn a successful run into exit code 2.
+    signal.alarm(0)
     print(
         f"# batch={batch} steps={steps} best={best:.2f}s/batch compile={compile_s:.0f}s "
         f"times={['%.2f' % t for t in times]}",
