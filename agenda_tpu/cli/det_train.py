@@ -40,6 +40,10 @@ def parse_args(argv=None):
                    help="torch checkpoint (.pth/.safetensors) to initialize "
                         "from — the reference's load_from COCO init "
                         "(Real_Source/faster-rcnn.py:37).")
+    p.add_argument("--auto-scale-lr", action="store_true",
+                   help="Enable the linear lr scaling rule against the "
+                        "config's base_batch_size — mmengine's opt-in "
+                        "--auto-scale-lr (Real_Source/vitdet.py:431).")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -74,6 +78,8 @@ def main(argv=None):
         cfg.runner.batch_size = args.batch_size
     if args.lr is not None:
         cfg.runner.lr = args.lr
+    if args.auto_scale_lr:
+        cfg.runner.auto_scale_lr = True
     cfg.runner.seed = args.seed
     cfg.runner.output_dir = args.work_dir if args.work_dir else cfg.runner.output_dir
 

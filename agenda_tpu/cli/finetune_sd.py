@@ -219,16 +219,11 @@ def main(argv=None):
     # Donating the TrainState aliases params/opt/EMA buffers in-place — the
     # difference between fitting 512^2 bs-4 (+EMA +int8 moments) on one v5e
     # chip and OOMing by ~4 G (see STATUS "HBM envelope").
-    # AGENDA_TPU_NO_DONATE=1 opts out. The tunneled 'axon' terminal
-    # mis-executes any donated step whose state carries an EMA tree
-    # (InvalidArgument even for a pure pass-through EMA; isolated on a tiny
-    # model, tracked in STATUS) — auto-disable donation for exactly that
-    # combination there.
+    # AGENDA_TPU_NO_DONATE=1 opts out. (Round 2's "axon donated+EMA bug"
+    # was root-caused in round 3 to ema_init aliasing the params buffers
+    # into the donated state — fixed in core/ema.py; donated EMA steps now
+    # run on every backend, verified on the axon chip.)
     donate = () if os.environ.get("AGENDA_TPU_NO_DONATE") == "1" else (0,)
-    if donate and args.use_ema and jax.default_backend() == "axon":
-        logger.info("axon backend + EMA: disabling train-state donation "
-                    "(known terminal bug; see STATUS.md)")
-        donate = ()
     step_fn = jax.jit(
         make_train_step(unet, vae, text_encoder, schedule, tx, loss_cfg, args.use_ema,
                         gradient_accumulation_steps=args.gradient_accumulation_steps),

@@ -26,8 +26,14 @@ class EMAState:
 
 
 def ema_init(params: Any) -> EMAState:
+    # copy=True is load-bearing: astype(f32) on f32 params is a no-op that
+    # ALIASES the source buffers, and a train state whose ema subtree aliases
+    # params fails any donated step with "Attempt to donate the same buffer
+    # twice" (on the axon TPU backend the same condition surfaced as an
+    # opaque INVALID_ARGUMENT — the round-2 "donated+EMA bug").
     return EMAState(
-        params=jax.tree.map(lambda p: p.astype(jnp.float32), params),
+        params=jax.tree.map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params),
         step=jnp.zeros((), jnp.int32),
     )
 

@@ -58,6 +58,10 @@ class AugConfig:
     # LSJ (ViTDet heatmap stage) — mutually exclusive with mosaic in practice
     lsj: bool = False
     lsj_ratio_range: Tuple[float, float] = (0.1, 2.0)
+    # Stage-2 ("close mosaic") recipe: RandomAffine applied to the single
+    # resized image with no mosaic border
+    # (``Real_Source/yolov8.py:116-134`` train_pipeline_stage2).
+    standalone_affine: bool = False
 
 
 def mix_stage_aug(mixup_prob: float = 1.0, mixup_mosaic_pre: bool = False) -> AugConfig:
@@ -79,6 +83,19 @@ def plain_aug() -> AugConfig:
 def lsj_aug() -> AugConfig:
     """Large-scale jitter (Synthetic_Heatmap ViTDet LSJ base)."""
     return AugConfig(lsj=True, flip_prob=0.5)
+
+
+def stage2_aug(a: AugConfig) -> AugConfig:
+    """The mosaic-close recipe derived from a stage's mix recipe.
+
+    The reference's yolov8 configs switch to ``train_pipeline_stage2`` for
+    the final ``close_mosaic_epochs``: Mosaic and MixUp drop out, the
+    RandomAffine stays (applied to the letterboxed single image, no mosaic
+    border), and the Albu/HSV/flip tail is unchanged
+    (``Real_Source/yolov8.py:34,116-134,215-216``).
+    """
+    return dataclasses.replace(
+        a, mosaic=False, mixup_prob=0.0, lsj=False, standalone_affine=True)
 
 
 # ---------------------------------------------------------------------------

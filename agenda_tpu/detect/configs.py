@@ -135,43 +135,56 @@ class DetectionConfig:
 # Per-(stage, family) hyperparameters, read off the reference configs
 # (file:line citations inline). bs = train_batch_size_per_gpu.
 HYPERPARAMS: Dict[Tuple[str, str], Dict[str, Any]] = {
-    # Real_Source: faster-rcnn.py:22-24,377-379; yolov5.py:28-37;
-    # yolov8.py:19,29,31; vitdet.py:22,28,335-339
+    # Real_Source: faster-rcnn.py:22-24,377-379; yolov5.py:28-38 (lr_factor
+    # 0.1 at :38); yolov8.py:19,29-34 (close_mosaic_epochs 10 at :34,
+    # val_interval_stage2 1 at :40); vitdet.py:22,28,335-339
     ("real_source", "faster-rcnn"): dict(bs=64, lr=0.2, opt="sgd", epochs=1000,
-                                         val_interval=1, aug="mix"),
+                                         val_interval=1, aug="mix",
+                                         base_bs=64),
     ("real_source", "yolov5"): dict(bs=200, lr=0.01, opt="sgd", epochs=1000,
-                                    val_interval=1, aug="mix", yolo_mixup=True),
+                                    val_interval=1, aug="mix", yolo_mixup=True,
+                                    yolo_opt=True, lr_factor=0.1),
     ("real_source", "yolov8"): dict(bs=512, lr=0.001, opt="sgd", epochs=1000,
-                                    val_interval=1, aug="mix", yolo_mixup=True),
+                                    val_interval=1, aug="mix", yolo_mixup=True,
+                                    yolo_opt=True, lr_factor=0.01,
+                                    close_mosaic=10, val_interval_stage2=1),
     ("real_source", "vitdet"): dict(bs=24, lr=0.001, opt="adamw", epochs=100,
-                                    val_interval=1, aug="mix"),
-    # Synthetic_Heatmap: faster-rcnn.py:19-21,279; yolov5.py:32-42;
-    # yolov8.py:19,29,31; 001_lsj base: 29-33,148-152
+                                    val_interval=1, aug="mix", base_bs=64),
+    # Synthetic_Heatmap: faster-rcnn.py:19-21,279; yolov5.py:32-43;
+    # yolov8.py:19,29-34,40; 001_lsj base: 29-33,148-152,228
     ("synthetic_heatmap", "faster-rcnn"): dict(bs=96, lr=0.02, opt="sgd",
                                                epochs=500, val_interval=2,
-                                               aug="plain"),
+                                               aug="plain", base_bs=96),
     ("synthetic_heatmap", "yolov5"): dict(bs=96, lr=1e-4, opt="sgd", epochs=500,
                                           val_interval=2, aug="mix",
-                                          yolo_mixup=True),
+                                          yolo_mixup=True, yolo_opt=True,
+                                          lr_factor=0.01),
     ("synthetic_heatmap", "yolov8"): dict(bs=192, lr=1e-4, opt="sgd", epochs=500,
                                           val_interval=2, aug="mix",
-                                          yolo_mixup=True),
+                                          yolo_mixup=True, yolo_opt=True,
+                                          lr_factor=0.01, close_mosaic=10,
+                                          val_interval_stage2=1),
     ("synthetic_heatmap", "vitdet"): dict(bs=48, lr=1e-4, opt="adamw",
                                           weight_decay=0.1, epochs=100,
-                                          val_interval=1, aug="lsj"),
-    # Synthetic_Target: faster-rcnn.py:17-18,388-390; yolov5.py:24-33;
-    # yolov8.py:19,29,31; vitdet.py:17,23,327-329
+                                          val_interval=1, aug="lsj",
+                                          base_bs=64),
+    # Synthetic_Target: faster-rcnn.py:17-18,388-390; yolov5.py:24-34;
+    # yolov8.py:19,29-34,40 (close_mosaic 10, val_interval_stage2 1 at
+    # :239-240,254-255); vitdet.py:17,23,327-329,423
     ("synthetic_target", "faster-rcnn"): dict(bs=256, lr=0.02, opt="sgd",
                                               epochs=1000, val_interval=5,
-                                              aug="mix"),
+                                              aug="mix", base_bs=256),
     ("synthetic_target", "yolov5"): dict(bs=512, lr=1e-4, opt="sgd", epochs=500,
                                          val_interval=1, aug="mix",
-                                         yolo_mixup=True),
+                                         yolo_mixup=True, yolo_opt=True,
+                                         lr_factor=0.01),
     ("synthetic_target", "yolov8"): dict(bs=1024, lr=0.001, opt="sgd",
                                          epochs=1000, val_interval=1, aug="mix",
-                                         yolo_mixup=True),
+                                         yolo_mixup=True, yolo_opt=True,
+                                         lr_factor=0.01, close_mosaic=10,
+                                         val_interval_stage2=1),
     ("synthetic_target", "vitdet"): dict(bs=24, lr=1e-4, opt="adamw", epochs=100,
-                                         val_interval=1, aug="mix"),
+                                         val_interval=1, aug="mix", base_bs=64),
 }
 
 
@@ -209,7 +222,20 @@ def preset(
         optimizer=hp["opt"],
         weight_decay=hp.get("weight_decay", 1e-4 if hp["opt"] == "sgd" else 0.05),
         val_interval=hp["val_interval"],
+        base_batch_size=hp.get("base_bs"),
     )
+    if hp.get("yolo_opt"):
+        # mmyolo SGD via YOLOv5OptimizerConstructor: momentum 0.937,
+        # nesterov, wd 0.0005 scaled by batch size, per-group decay mask,
+        # lr_factor schedule, no grad clipping.
+        runner.yolo_optimizer = True
+        runner.momentum = 0.937
+        runner.nesterov = True
+        runner.weight_decay = hp.get("weight_decay", 0.0005)
+        runner.lr_factor = hp["lr_factor"]
+        runner.clip_grad_norm = None
+    runner.close_mosaic_epochs = hp.get("close_mosaic", 0)
+    runner.val_interval_stage2 = hp.get("val_interval_stage2")
     if detector.startswith("yolo"):
         runner.ema_decay = 0.9998  # mmyolo ExpMomentumEMA momentum=0.0002
     recipe = hp["aug"]

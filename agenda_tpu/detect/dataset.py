@@ -137,6 +137,19 @@ class CocoDetDataset:
                 else:  # mmdet MixUp: raw retrieved sample
                     img2, boxes2 = self._load_scaled(j)
                 img, boxes = mixup(img, boxes, img2, boxes2, rng)
+        elif self.train and a.standalone_affine:
+            # Mosaic-close stage 2: affine on the single resized image, no
+            # mosaic border (Real_Source/yolov8.py:116-134, max_aspect_ratio
+            # 100 there — effectively unfiltered at these box sizes).
+            img, boxes = self._load_scaled(index)
+            img, boxes = random_affine(
+                img, boxes, rng, self.img_scale,
+                max_rotate_degree=a.max_rotate_degree,
+                max_shear_degree=a.max_shear_degree,
+                scaling_ratio_range=(1 - a.affine_scale, 1 + a.affine_scale),
+                max_translate_ratio=a.max_translate_ratio,
+                max_aspect_ratio=100.0,
+            )
         elif self.train and a.lsj:
             # LSJ pipeline order: flip BEFORE resize/crop
             # (001_lsj-100e_LINZ-heatmap.py:42-57).

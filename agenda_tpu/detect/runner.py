@@ -50,6 +50,30 @@ class RunnerConfig:
     ema_decay: float = 0.0  # >0 enables EMA eval/checkpointing (mmyolo EMAHook)
     seed: int = 0
     log_interval: int = 20
+    # -- mmyolo YOLOv5OptimizerConstructor + YOLOv5ParamSchedulerHook parity
+    # (the yolo configs construct SGD through it with batch_size_per_gpu —
+    # Real_Source/yolov5.py:190-191, yolov8.py:197-198): weight decay only on
+    # conv/linear kernels (norm scales + all biases exempt), scaled by
+    # total_bs*accum/64; nesterov momentum; linear per-epoch lr decay to
+    # lr*lr_factor with iter-level warmup (bias group warms from
+    # warmup_bias_lr, momentum from warmup_momentum).
+    yolo_optimizer: bool = False
+    nesterov: bool = False
+    lr_factor: float = 0.01          # yolov5 Real_Source: 0.1 (yolov5.py:38)
+    warmup_epochs: float = 3.0
+    warmup_mim_iter: int = 1000      # "critical" per yolov5.py:207-211
+    warmup_bias_lr: float = 0.1
+    warmup_momentum: float = 0.8
+    base_total_batch_size: int = 64  # mmyolo base_total_batch_size
+    # -- mmengine auto_scale_lr (Real_Source/vitdet.py:431): opt-in (the
+    # reference never enables it on the CLI); lr *= global_bs/base_batch_size.
+    auto_scale_lr: bool = False
+    base_batch_size: Optional[int] = None
+    # -- mosaic-close pipeline switch (Real_Source/yolov8.py:34,215-216):
+    # for the final close_mosaic_epochs the train aug switches to the
+    # stage-2 recipe and val cadence becomes val_interval_stage2.
+    close_mosaic_epochs: int = 0
+    val_interval_stage2: Optional[int] = None
 
 
 def save_variables(path: str, variables: Dict[str, Any]) -> None:
@@ -86,13 +110,98 @@ def make_lr_fn(cfg: RunnerConfig, steps_per_epoch: int):
     return fn
 
 
-def make_optimizer(cfg: RunnerConfig, steps_per_epoch: int):
-    lr_fn = make_lr_fn(cfg, steps_per_epoch)
+def _leaf_name_mask(params, match: str):
+    """True for leaves whose innermost key equals ``match``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: str(getattr(path[-1], "key", path[-1])) == match, params)
+
+
+def decay_mask(params):
+    """mmyolo param groups: decay ONLY conv/linear weights ("kernel" leaves);
+    norm scales ("scale") and every bias are exempt
+    (YOLOv5OptimizerConstructor's conv/bn/bias three-group split)."""
+    return _leaf_name_mask(params, "kernel")
+
+
+def bias_mask(params):
+    return _leaf_name_mask(params, "bias")
+
+
+def not_bias_mask(params):
+    return jax.tree.map(lambda b: not b, bias_mask(params))
+
+
+def scaled_weight_decay(cfg: RunnerConfig, total_bs: int) -> float:
+    """YOLOv5OptimizerConstructor: wd *= total_bs * accumulate / 64 where
+    accumulate = max(round(64 / total_bs), 1)."""
+    accumulate = max(round(cfg.base_total_batch_size / max(1, total_bs)), 1)
+    return cfg.weight_decay * total_bs * accumulate / cfg.base_total_batch_size
+
+
+def make_yolo_schedules(cfg: RunnerConfig, steps_per_epoch: int, base_lr=None):
+    """YOLOv5ParamSchedulerHook semantics as step functions.
+
+    Per-epoch linear factor ``(1 - e/max_epochs)*(1-lr_factor) + lr_factor``
+    applied at epoch boundaries; iter-level linear warmup over
+    ``max(warmup_epochs*steps_per_epoch, warmup_mim_iter)`` iters — weights/
+    norms warm from 0, biases from warmup_bias_lr down/up to the epoch lr,
+    momentum from warmup_momentum to momentum.
+    """
+    base_lr = cfg.lr if base_lr is None else base_lr
+    warm_total = max(round(cfg.warmup_epochs * steps_per_epoch),
+                     cfg.warmup_mim_iter)
+
+    def epoch_lr(step):
+        e = jnp.floor_divide(step, steps_per_epoch).astype(jnp.float32)
+        e = jnp.minimum(e, float(cfg.max_epochs))
+        factor = (1.0 - e / cfg.max_epochs) * (1.0 - cfg.lr_factor) + cfg.lr_factor
+        return jnp.float32(base_lr) * factor
+
+    def w(step):
+        return jnp.clip(jnp.float32(step) / warm_total, 0.0, 1.0)
+
+    def lr_main(step):
+        return w(step) * epoch_lr(step)
+
+    def lr_bias(step):
+        return cfg.warmup_bias_lr + w(step) * (epoch_lr(step) - cfg.warmup_bias_lr)
+
+    def momentum_fn(step):
+        return cfg.warmup_momentum + w(step) * (cfg.momentum - cfg.warmup_momentum)
+
+    return lr_main, lr_bias, momentum_fn
+
+
+def make_optimizer(cfg: RunnerConfig, steps_per_epoch: int,
+                   total_bs: Optional[int] = None, base_lr: Optional[float] = None):
+    base_lr = cfg.lr if base_lr is None else base_lr
     chain = []
     if cfg.clip_grad_norm:
         chain.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+    if cfg.yolo_optimizer:
+        lr_main, lr_bias, momentum_fn = make_yolo_schedules(
+            cfg, steps_per_epoch, base_lr)
+        wd = scaled_weight_decay(cfg, total_bs or cfg.batch_size)
+        sgd = optax.inject_hyperparams(optax.sgd)
+        chain += [
+            optax.add_decayed_weights(wd, mask=decay_mask),
+            # Two masked chains = per-group lr (identical math to torch param
+            # groups: momentum traces are per-leaf, so the split is exact).
+            optax.masked(
+                sgd(learning_rate=lr_main, momentum=momentum_fn,
+                    nesterov=cfg.nesterov),
+                not_bias_mask),
+            optax.masked(
+                sgd(learning_rate=lr_bias, momentum=momentum_fn,
+                    nesterov=cfg.nesterov),
+                bias_mask),
+        ]
+        return optax.chain(*chain), lr_main
+    lr_fn = make_lr_fn(cfg, steps_per_epoch) if base_lr == cfg.lr else \
+        make_lr_fn(dataclasses.replace(cfg, lr=base_lr), steps_per_epoch)
     if cfg.optimizer == "sgd":
-        chain.append(optax.sgd(lr_fn, momentum=cfg.momentum))
+        chain.append(optax.sgd(lr_fn, momentum=cfg.momentum,
+                               nesterov=cfg.nesterov))
         if cfg.weight_decay:
             chain.insert(-1, optax.add_decayed_weights(cfg.weight_decay))
     elif cfg.optimizer == "adamw":
@@ -139,7 +248,15 @@ class DetectorRunner:
         loader = DataLoader(train_dataset, global_bs, shuffle=True, seed=cfg.seed,
                             num_workers=2, pad_to_full=True)
         steps_per_epoch = len(loader)
-        tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
+        base_lr = cfg.lr
+        if cfg.auto_scale_lr and cfg.base_batch_size:
+            # mmengine auto_scale_lr (linear scaling rule) — opt-in, like the
+            # reference's --auto-scale-lr flag (Real_Source/vitdet.py:431).
+            base_lr = cfg.lr * global_bs / cfg.base_batch_size
+            logger.info("auto_scale_lr: lr %.2e -> %.2e (global_bs %d / base %d)",
+                        cfg.lr, base_lr, global_bs, cfg.base_batch_size)
+        tx, lr_fn = make_optimizer(cfg, steps_per_epoch, total_bs=global_bs,
+                                   base_lr=base_lr)
 
         variables = self.family.init_variables(jax.random.key(cfg.seed))
         if pretrained:
@@ -232,7 +349,11 @@ class DetectorRunner:
         metrics_log = open(os.path.join(cfg.output_dir, "metrics.jsonl"), "a")
         import json as _json
 
+        switch_epoch = cfg.max_epochs - cfg.close_mosaic_epochs \
+            if cfg.close_mosaic_epochs > 0 else None
         for epoch in range(start_epoch, cfg.max_epochs):
+            if switch_epoch is not None and epoch >= switch_epoch:
+                self._apply_stage2_aug(train_dataset)
             for batch in loader:
                 db = shard_batch(
                     {"image": batch["image"], "gt_boxes": batch["gt_boxes"],
@@ -251,7 +372,13 @@ class DetectorRunner:
                     metrics_log.flush()
                     logger.info("e%d s%d loss=%.4f lr=%.2e", epoch, gstep,
                                 m["loss"], m["lr"])
-            if val_dataset is not None and (epoch + 1) % cfg.val_interval == 0:
+            # dynamic_intervals: tighter val cadence inside the mosaic-close
+            # window (Real_Source/yolov8.py:229-232, val_interval_stage2 = 1).
+            val_every = cfg.val_interval
+            if (switch_epoch is not None and epoch >= switch_epoch
+                    and cfg.val_interval_stage2 is not None):
+                val_every = cfg.val_interval_stage2
+            if val_dataset is not None and (epoch + 1) % val_every == 0:
                 eval_params = ema_params if cfg.ema_decay > 0 else params
                 variables = {"params": eval_params, "batch_stats": batch_stats}
                 results = self.evaluate(variables, val_dataset)
@@ -274,6 +401,19 @@ class DetectorRunner:
         metrics_log.close()
         return {"params": ema_params if cfg.ema_decay > 0 else params,
                 "batch_stats": batch_stats}
+
+    def _apply_stage2_aug(self, dataset) -> None:
+        """Switch a (possibly concatenated) train dataset to the stage-2
+        (mosaic-closed) recipe; idempotent."""
+        from agenda_tpu.detect.augment import stage2_aug
+
+        parts = getattr(dataset, "datasets", [dataset])
+        for part in parts:
+            a = getattr(part, "aug", None)
+            if a is not None and not a.standalone_affine:
+                part.aug = stage2_aug(a)
+                logger.info("mosaic-close: switched train aug to stage-2 "
+                            "recipe (mosaic/mixup off, standalone affine)")
 
     def _save_train_state(self, opt_state, epoch: int, gstep: int) -> None:
         """Optimizer moments + epoch/step counters (mmengine resume parity).

@@ -51,7 +51,12 @@ def _ref_values(stage_dir: str, family: str):
     lr = grab(r"^base_lr\s*=\s*([0-9.e-]+)")
     if lr is None:
         lr = grab(r"\blr\s*=\s*([0-9.e-]+)")
-    return dict(epochs=epochs, bs=bs, lr=lr)
+    return dict(
+        epochs=epochs, bs=bs, lr=lr,
+        lr_factor=grab(r"^lr_factor\s*=\s*([0-9.e-]+)"),
+        close_mosaic=grab(r"^close_mosaic_epochs\s*=\s*([0-9]+)"),
+        val_interval_stage2=grab(r"^val_interval_stage2\s*=\s*([0-9]+)"),
+    )
 
 
 @pytest.mark.parametrize("stage_dir", list(STAGES))
@@ -66,3 +71,16 @@ def test_hyperparams_match_reference(stage_dir, family):
     assert ours["epochs"] == int(ref["epochs"]), (stage_dir, family, ours, ref)
     assert ours["bs"] == int(ref["bs"]), (stage_dir, family, ours, ref)
     assert abs(ours["lr"] - ref["lr"]) < 1e-9, (stage_dir, family, ours, ref)
+    # yolo-only recipe details: lr_factor schedule, mosaic-close switch
+    if ref["lr_factor"] is not None and family.startswith("yolo"):
+        assert ours.get("yolo_opt"), (stage_dir, family)
+        assert abs(ours["lr_factor"] - ref["lr_factor"]) < 1e-9, (
+            stage_dir, family, ours, ref)
+    if ref["close_mosaic"] is not None:
+        assert ours.get("close_mosaic", 0) == int(ref["close_mosaic"]), (
+            stage_dir, family, ours, ref)
+        if ref["val_interval_stage2"] is not None:
+            assert ours.get("val_interval_stage2") == int(
+                ref["val_interval_stage2"]), (stage_dir, family, ours, ref)
+    else:
+        assert ours.get("close_mosaic", 0) == 0, (stage_dir, family)

@@ -150,6 +150,164 @@ def test_resnet_block_forward_parity(tiny_unet_export):
     np.testing.assert_allclose(np.asarray(flax_out), torch_out, atol=2e-5, rtol=2e-5)
 
 
+class TResnetBlockIO(torch.nn.Module):
+    """ResnetBlock2D with in!=out channels + conv_shortcut (diffusers)."""
+
+    def __init__(self, cin, cout, temb_dim, groups=32):
+        super().__init__()
+        self.norm1 = torch.nn.GroupNorm(min(groups, cin), cin, eps=1e-5)
+        self.conv1 = torch.nn.Conv2d(cin, cout, 3, padding=1)
+        self.time_emb_proj = torch.nn.Linear(temb_dim, cout)
+        self.norm2 = torch.nn.GroupNorm(min(groups, cout), cout, eps=1e-5)
+        self.conv2 = torch.nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_shortcut = torch.nn.Conv2d(cin, cout, 1)
+        else:
+            self.conv_shortcut = None
+
+    def forward(self, x, temb):
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        h = h + self.time_emb_proj(torch.nn.functional.silu(temb))[:, :, None, None]
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class TTimestepEmbedding(torch.nn.Module):
+    def __init__(self, cin, dim):
+        super().__init__()
+        self.linear_1 = torch.nn.Linear(cin, dim)
+        self.linear_2 = torch.nn.Linear(dim, dim)
+
+    def forward(self, x):
+        return self.linear_2(torch.nn.functional.silu(self.linear_1(x)))
+
+
+def _t_sinusoidal(timesteps, dim):
+    """diffusers get_timestep_embedding, SD-1.x flags (flip_sin_to_cos=True,
+    freq_shift=0)."""
+    import math
+
+    half = dim // 2
+    freqs = torch.exp(-math.log(10000.0) * torch.arange(half) / half)
+    args = timesteps.float()[:, None] * freqs[None, :]
+    emb = torch.cat([torch.sin(args), torch.cos(args)], dim=-1)
+    return torch.cat([emb[:, half:], emb[:, :half]], dim=-1)
+
+
+class TTinyUNet(torch.nn.Module):
+    """Faithful torch mirror of UNetConfig.tiny()'s full topology
+    (models/unet.py): conv_in -> [CrossAttnDown(32)+down, Down(64)] -> mid
+    -> [Up(64)+up, CrossAttnUp(32)] -> GN/silu -> conv_out, with the
+    diffusers skip-connection stack and temb routing."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        c0, c1 = cfg.block_out_channels
+        tdim = c0 * 4
+        heads, ctx = cfg.attention_head_dim, cfg.cross_attention_dim
+        g = min(32, c0)
+        self.c0 = c0
+        self.time_embedding = TTimestepEmbedding(c0, tdim)
+        self.conv_in = torch.nn.Conv2d(cfg.in_channels, c0, 3, padding=1)
+
+        db0 = torch.nn.Module()
+        db0.resnets = torch.nn.ModuleList([TResnetBlockIO(c0, c0, tdim, g)])
+        db0.attentions = torch.nn.ModuleList([TTransformer2D(c0, heads, ctx, g)])
+        ds = torch.nn.Module()
+        ds.conv = torch.nn.Conv2d(c0, c0, 3, stride=2, padding=1)
+        db0.downsamplers = torch.nn.ModuleList([ds])
+        db1 = torch.nn.Module()
+        db1.resnets = torch.nn.ModuleList([TResnetBlockIO(c0, c1, tdim, g)])
+        self.down_blocks = torch.nn.ModuleList([db0, db1])
+
+        mid = torch.nn.Module()
+        mid.resnets = torch.nn.ModuleList(
+            [TResnetBlockIO(c1, c1, tdim, g), TResnetBlockIO(c1, c1, tdim, g)])
+        mid.attentions = torch.nn.ModuleList([TTransformer2D(c1, heads, ctx, g)])
+        self.mid_block = mid
+
+        ub0 = torch.nn.Module()
+        ub0.resnets = torch.nn.ModuleList(
+            [TResnetBlockIO(c1 + c1, c1, tdim, g),
+             TResnetBlockIO(c1 + c0, c1, tdim, g)])
+        us = torch.nn.Module()
+        us.conv = torch.nn.Conv2d(c1, c1, 3, padding=1)
+        ub0.upsamplers = torch.nn.ModuleList([us])
+        ub1 = torch.nn.Module()
+        ub1.resnets = torch.nn.ModuleList(
+            [TResnetBlockIO(c1 + c0, c0, tdim, g),
+             TResnetBlockIO(c0 + c0, c0, tdim, g)])
+        ub1.attentions = torch.nn.ModuleList(
+            [TTransformer2D(c0, heads, ctx, g), TTransformer2D(c0, heads, ctx, g)])
+        self.up_blocks = torch.nn.ModuleList([ub0, ub1])
+
+        self.conv_norm_out = torch.nn.GroupNorm(g, c0, eps=1e-5)
+        self.conv_out = torch.nn.Conv2d(c0, cfg.out_channels, 3, padding=1)
+
+    def forward(self, x, timesteps, ctx):
+        temb = self.time_embedding(_t_sinusoidal(timesteps, self.c0))
+        x = self.conv_in(x)
+        res = [x]
+        # down 0: CrossAttn + downsample
+        db0 = self.down_blocks[0]
+        x = db0.resnets[0](x, temb)
+        x = db0.attentions[0](x, ctx)
+        res.append(x)
+        x = db0.downsamplers[0].conv(x)
+        res.append(x)
+        # down 1: plain, no downsample
+        x = self.down_blocks[1].resnets[0](x, temb)
+        res.append(x)
+        # mid
+        x = self.mid_block.resnets[0](x, temb)
+        x = self.mid_block.attentions[0](x, ctx)
+        x = self.mid_block.resnets[1](x, temb)
+        # up 0: plain (n_res 2) + upsample
+        ub0 = self.up_blocks[0]
+        for i in range(2):
+            x = torch.cat([x, res.pop()], dim=1)
+            x = ub0.resnets[i](x, temb)
+        x = torch.nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+        x = ub0.upsamplers[0].conv(x)
+        # up 1: CrossAttn (n_res 2), no upsample
+        ub1 = self.up_blocks[1]
+        for i in range(2):
+            x = torch.cat([x, res.pop()], dim=1)
+            x = ub1.resnets[i](x, temb)
+            x = ub1.attentions[i](x, ctx)
+        x = self.conv_out(torch.nn.functional.silu(self.conv_norm_out(x)))
+        return x
+
+
+def test_full_unet_forward_parity(tiny_unet_export):
+    """Full tiny-UNet forward: torch mirror loads the export strict=True and
+    reproduces the flax forward — catches cross-block wiring errors
+    (skip-connection order, temb routing, up-block concat order) that the
+    per-block tests cannot (VERDICT round-2 item 7)."""
+    cfg, params, sd = tiny_unet_export
+    tun = TTinyUNet(cfg)
+    res = tun.load_state_dict(sd, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+
+    rng = np.random.RandomState(2)
+    s = cfg.sample_size
+    x = rng.randn(2, s, s, cfg.in_channels).astype(np.float32)
+    t = np.array([7, 421], np.int64)
+    ctx = rng.randn(2, 77, cfg.cross_attention_dim).astype(np.float32)
+
+    unet = UNet2DConditionModel(cfg)
+    flax_out, _ = unet.apply({"params": params}, jnp.asarray(x),
+                             jnp.asarray(t), jnp.asarray(ctx))
+    with torch.no_grad():
+        torch_out = tun(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        torch.from_numpy(t),
+                        torch.from_numpy(ctx)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(flax_out), torch_out,
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_transformer2d_forward_parity(tiny_unet_export):
     cfg, params, sd = tiny_unet_export
     c = cfg.block_out_channels[0]

@@ -203,6 +203,34 @@ def test_dryrun_multichip_8dev():
     ge.dryrun_multichip(8)
 
 
+def test_ema_init_does_not_alias_params():
+    """ema_init must COPY: an f32 astype is a no-op alias, and a train state
+    whose ema subtree aliases params fails any donated step with 'donate the
+    same buffer twice' (root cause of round 2's 'axon donated+EMA bug')."""
+    from agenda_tpu.core.ema import ema_init, ema_update
+
+    params = {"w": jnp.ones((16, 16), jnp.float32), "b": jnp.zeros((16,))}
+    ema = ema_init(params)
+    for p, e in zip(jax.tree.leaves(params), jax.tree.leaves(ema.params)):
+        assert p.unsafe_buffer_pointer() != e.unsafe_buffer_pointer()
+
+    # A donated step carrying the EMA subtree must execute.
+    state = {"params": params, "ema": ema}
+
+    @jax.jit
+    def step(state, x):
+        g = jax.grad(
+            lambda p: jnp.sum(jnp.tanh(x @ p["w"] + p["b"])))(state["params"])
+        new_p = jax.tree.map(lambda p, gg: p - 1e-3 * gg, state["params"], g)
+        return {"params": new_p, "ema": ema_update(state["ema"], new_p)}
+
+    donated = jax.jit(step, donate_argnums=(0,))
+    x = jnp.ones((4, 16))
+    for _ in range(2):
+        state = donated(state, x)
+    assert np.isfinite(np.asarray(jax.tree.leaves(state["params"])[0])).all()
+
+
 def test_async_checkpointer(tiny_setup, tmp_path):
     """AsyncCheckpointer: background writes land atomically (no .tmp dirs
     visible as checkpoints), serialize one-in-flight, and load back
