@@ -95,6 +95,29 @@ class SPPFv5(nn.Module):
         )
 
 
+def _head_bias_init(cfg: YOLOv5Config, level: int):
+    """ultralytics ``Detect.bias_init`` priors (mirrored by mmyolo's
+    YOLOv5Head init): objectness bias log(8 objects / cells-at-this-level),
+    class bias log(0.6/(nc-0.99999)). Without the obj prior the head spends
+    its first epochs suppressing objectness on ~99% negative cells — a
+    measured multi-point mAP cost at short schedules."""
+    import math
+
+    na = len(cfg.anchors[0])
+    stride = cfg.strides[level]
+    obj_b = math.log(8.0 / (cfg.img_size / stride) ** 2)
+    cls_b = math.log(0.6 / (cfg.num_classes - 0.99999)) \
+        if cfg.num_classes > 1 else math.log(0.6 / 1e-5)
+
+    def init(key, shape, dtype=jnp.float32):
+        b = jnp.zeros((na, 5 + cfg.num_classes), jnp.float32)
+        b = b.at[:, 4].set(obj_b)
+        b = b.at[:, 5:].set(cls_b)
+        return b.reshape(shape).astype(dtype)
+
+    return init
+
+
 class YOLOv5(nn.Module):
     config: YOLOv5Config
     dtype: jnp.dtype = jnp.float32
@@ -140,7 +163,8 @@ class YOLOv5(nn.Module):
 
         heads = []
         for li, f in enumerate((out3, out4, out5)):
-            h = nn.Conv(no, (1, 1), dtype=self.dtype, name=f"head_{li}")(f)
+            h = nn.Conv(no, (1, 1), dtype=self.dtype, name=f"head_{li}",
+                        bias_init=_head_bias_init(cfg, li))(f)
             b, hh, ww, _ = h.shape
             heads.append(h.reshape(b, hh, ww, na, 5 + cfg.num_classes).astype(jnp.float32))
         return heads
@@ -255,6 +279,14 @@ def yolov5_loss(heads, batch, cfg: YOLOv5Config):
     lbox = jnp.mean(lbox)
     lobj = jnp.mean(lobj)
     loss = cfg.box_weight * lbox + cfg.obj_weight * lobj
+    # mmyolo/ultralytics convention: loss x global batch size (ultralytics
+    # compute_loss returns (lbox+lobj+lcls)*bs; mmyolo YOLOv5Head scales by
+    # batch_size x world_size). The reference lr presets assume this
+    # gradient scale — its absence was the measured root cause of the v5
+    # convergence gap (box CIoU stuck at 0.27 after 100 steps at lr 0.01;
+    # overfit probe with Adam reached mAP75=1.0, proving loss/assignment
+    # correct and optimization scale wrong).
+    loss = loss * batch["gt_boxes"].shape[0]
     return loss, {"box": lbox, "obj": lobj, "n_match": jnp.mean(n_match)}
 
 

@@ -263,6 +263,11 @@ def yolov8_loss(
         + cfg.box_weight * total_iou
         + cfg.dfl_weight * total_dfl
     )
+    # mmyolo/ultralytics convention: the YOLO loss is scaled by the global
+    # batch size (YOLOv8Head returns loss_* x num_imgs x world_size), and
+    # the reference configs' lr values assume that gradient scale — without
+    # it the preset lrs undertrain by the batch factor.
+    loss = loss * scores.shape[0]
     return loss, {"cls": total_cls, "iou": total_iou, "dfl": total_dfl}
 
 

@@ -41,9 +41,9 @@ def make_heatmap_domain(
     gain: float = 1.0,
     bias: float = 0.0,
     p_dim: float = 0.0,       # prob an object blob is dimmed into dim_range
-    dim_range=(105.0, 130.0),  # dim peaks -> intermediate detector scores
+    dim_range=(55.0, 95.0),   # straddles the score transition band
     p_spurious: float = 0.0,  # prob of an extra object-free blob per image
-    spur_range=(100.0, 125.0),
+    spur_range=(55.0, 95.0),
 ) -> str:
     """Write images/ + daam_stack_heatmaps/ + ann.json under root.
 
@@ -95,9 +95,10 @@ def make_heatmap_domain(
         for cx, cy in centers:
             peak = 200.0 * rng.uniform(0.85, 1.15)
             if rng.rand() < p_dim:
-                # calibrated against the trained detector's score-vs-peak
-                # curve: peaks in ~(105, 130) land in the refine stage's
-                # unlabeled bucket (score 0.35-0.75)
+                # the range straddles the trained detector's sharp
+                # score-vs-peak transition (~0.1 below peak 60, ~0.85 above
+                # peak 80), so dims split into misses, refine-bucket
+                # intermediates, and confident hits
                 peak = rng.uniform(*dim_range)
             _blob(obj, cx + rng.normal(0, 1.5), cy + rng.normal(0, 1.5),
                   sigma=9.0 * rng.uniform(0.8, 1.2), peak=peak)

@@ -6,12 +6,19 @@ object-like distractors, scale/aspect/color-jittered ~42px targets, and up
 to 4 objects per image. Thresholds are calibrated measurements minus margin
 (calibrated on the 8-virtual-device CPU mesh, 2026-08-16):
 
-- yolov8:      mAP50 0.88 at 30 epochs (lr 0.01)  -> gate 0.55
-- yolov5:      mAP50 0.45 at 30 epochs (lr 0.01)  -> gate 0.22
+- yolov8:      mAP50 0.91 at 30 epochs (lr 0.01)  -> gate 0.60
+- yolov5:      mAP50 0.82 at 30 epochs (lr 0.01)  -> gate 0.45
 - faster-rcnn: mAP50 0.73 at 30 epochs (lr 0.005) -> gate 0.40
   (at the stage lr 0.02 with this tiny global batch the RCNN head DIVERGES,
   loss 1.7 -> 30 — which is exactly the class of failure this gate catches)
 - vitdet:      mAP50 0.71 at 30 epochs (tiny ViT, adamw 3e-4) -> gate 0.40
+
+Round-3 recalibration (2026-08-17): the yolo losses now carry the
+mmyolo/ultralytics global-batch scale (loss x bs — see yolov5.py loss
+docstring for the root-cause evidence). That raised yolov5 0.45 -> 0.82
+(sloppy-localization mAP75 0.007 -> 0.23) and yolov8 0.88 -> 0.91 at the
+same lr, so the yolo gates tightened accordingly; yolov5's published-paper
+deficit vs yolov8 (68.8 vs 75.4 AP50) is now roughly the gap seen here.
 
 A subtly broken assigner, box loss, or decoder plateaus near zero here, so
 these gates fail on real regressions, not just NaNs.
@@ -50,14 +57,14 @@ def _train_and_eval(tmp_path, name, model_kw, lr, epochs, optimizer="sgd"):
 def test_yolov8_convergence_gate(tmp_path):
     res = _train_and_eval(tmp_path, "yolov8", dict(img_size=64, max_gt=8),
                           lr=0.01, epochs=30)
-    assert res["bbox_mAP_50"] >= 0.55, res  # calibrated 0.88
+    assert res["bbox_mAP_50"] >= 0.60, res  # calibrated 0.91
 
 
 @pytest.mark.slow
 def test_yolov5_convergence_gate(tmp_path):
     res = _train_and_eval(tmp_path, "yolov5", dict(img_size=64, max_gt=8),
                           lr=0.01, epochs=30)
-    assert res["bbox_mAP_50"] >= 0.22, res  # calibrated 0.45
+    assert res["bbox_mAP_50"] >= 0.45, res  # calibrated 0.82
 
 
 # The two-stage families need 10-45 min each on this single-core host
