@@ -150,8 +150,12 @@ def main(argv=None):
         steps_offset=sc.get("steps_offset", 1),
     )
     compute_dtype = jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16
+    # flash_min_dim=40: in training the D=40 latent self-attentions take the
+    # Pallas flash fwd+bwd (XLA's backward would materialize f32
+    # (B,H,4096,4096) probability tensors — see kernels/attention.py).
     unet = UNet2DConditionModel(bundle.unet_config, dtype=compute_dtype,
-                                gradient_checkpointing=args.gradient_checkpointing)
+                                gradient_checkpointing=args.gradient_checkpointing,
+                                flash_min_dim=40)
     vae = AutoencoderKL(bundle.vae_config, dtype=compute_dtype)
     text_encoder = CLIPTextModel(bundle.text_config, dtype=compute_dtype)
     tokenizer = CLIPTokenizer.from_pretrained(bundle.tokenizer_dir)

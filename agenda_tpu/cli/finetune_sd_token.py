@@ -226,8 +226,11 @@ def main(argv=None):
                 resume_embedding = np.stack([rd[t] for t in object_tokens])
             resume_train_state_path = os.path.join(rpath, "train_state")
 
+    # flash_min_dim=40: memory-efficient flash backward on the D=40 latent
+    # self-attentions (see kernels/attention.py docstring).
     unet = UNet2DConditionModel(unet_cfg, dtype=compute_dtype,
-                                gradient_checkpointing=args.gradient_checkpointing)
+                                gradient_checkpointing=args.gradient_checkpointing,
+                                flash_min_dim=40)
     vae = AutoencoderKL(bundle.vae_config, dtype=compute_dtype)
     text_encoder = CLIPTextModel(text_cfg, dtype=compute_dtype)
 

@@ -78,16 +78,23 @@ def attention(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     use_flash: Optional[bool] = None,
+    flash_min_dim: int = 65,
 ) -> jax.Array:
     """Dispatch: Pallas flash kernel for long self-attention, XLA otherwise.
 
-    ``use_flash=None`` auto-selects: flash when Sq == Sk >= 1024, head_dim >
-    64, no mask, and we're on a TPU backend. The head-dim cutoff is measured,
-    not aesthetic: the kernel zero-pads head_dim to the 128 lane width, so at
-    SD-1.x's level-0 shape (S=4096, D=40) it burns 3.2x the useful FLOPs and
-    loses to XLA's fused attention (14.3 vs 10.3 ms/iter on v5e at B*H=128),
-    while at D=80 (S=1024) flash wins (4.1 vs 5.1 ms/iter). The flash kernel
-    replaces the reference's xformers memory-efficient attention
+    ``use_flash=None`` auto-selects: flash when Sq == Sk >= 1024, head_dim >=
+    ``flash_min_dim``, no mask, and we're on a TPU backend. The default
+    cutoff (flash only above D=64) is measured for the FORWARD-only
+    (generation) path: the kernel zero-pads head_dim to the 128 lane width,
+    so at SD-1.x's level-0 shape (S=4096, D=40) it burns 3.2x the useful
+    FLOPs and loses to XLA's fused attention (14.3 vs 10.3 ms/iter on v5e at
+    B*H=128), while at D=80 (S=1024) flash wins (4.1 vs 5.1 ms/iter).
+
+    TRAINING is different: XLA's attention backward materializes the
+    f32 (B, H, S, S) probability matrix in HBM (2.1 GB per D=40 layer at
+    bs 4), so the train step passes ``flash_min_dim=40`` and takes the
+    Pallas fwd+bwd kernels everywhere (see train/finetune_sd.py). The flash
+    kernel replaces the reference's xformers memory-efficient attention
     (``finetune_sd.py:539-550``).
     """
     if use_flash is None:
@@ -95,7 +102,7 @@ def attention(
             mask is None
             and q.shape[1] == k.shape[1]
             and q.shape[1] >= 1024
-            and q.shape[-1] > 64
+            and q.shape[-1] >= flash_min_dim
             and _on_tpu()
         )
     if use_flash:

@@ -113,6 +113,9 @@ class Attention(nn.Module):
     dim_head: Optional[int] = None  # default query_dim // heads
     context_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    # min head_dim for Pallas flash dispatch; 65 = forward-only measured
+    # cutoff, training passes 40 (see kernels/attention.py docstring)
+    flash_min_dim: int = 65
 
     @nn.compact
     def __call__(
@@ -143,7 +146,8 @@ class Attention(nn.Module):
         elif mask is not None:
             out = attention_reference(q, k, v, mask)
         else:
-            out = attention(q, k, v, use_flash=use_flash)
+            out = attention(q, k, v, use_flash=use_flash,
+                            flash_min_dim=self.flash_min_dim)
 
         out = out.reshape(b, sq, inner)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
@@ -183,12 +187,14 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     collect_probs: bool = False
     dtype: jnp.dtype = jnp.float32
+    flash_min_dim: int = 65
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array):
         collect_probs = self.collect_probs
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")(h)
+        x = x + Attention(self.dim, self.heads, dtype=self.dtype,
+                          flash_min_dim=self.flash_min_dim, name="attn1")(h)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         attn2 = Attention(
@@ -218,6 +224,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     collect_probs: bool = False
     dtype: jnp.dtype = jnp.float32
+    flash_min_dim: int = 65
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array):
@@ -235,6 +242,7 @@ class Transformer2D(nn.Module):
                 self.context_dim,
                 collect_probs=collect_probs,
                 dtype=self.dtype,
+                flash_min_dim=self.flash_min_dim,
                 name=f"transformer_blocks_{i}",
             )(x, context)
         x = x.reshape(b, h, w, self.channels)

@@ -84,6 +84,7 @@ class CrossAttnDownBlock(nn.Module):
     add_downsample: bool
     collect_probs: bool = False
     dtype: jnp.dtype = jnp.float32
+    flash_min_dim: int = 65
 
     @nn.compact
     def __call__(self, x, temb, context):
@@ -97,6 +98,7 @@ class CrossAttnDownBlock(nn.Module):
                 self.context_dim,
                 collect_probs=collect_probs,
                 dtype=self.dtype,
+                flash_min_dim=self.flash_min_dim,
                 name=f"attentions_{i}",
             )(x, context)
             if m is not None:
@@ -132,13 +134,14 @@ class MidBlock(nn.Module):
     context_dim: int
     collect_probs: bool = False
     dtype: jnp.dtype = jnp.float32
+    flash_min_dim: int = 65
 
     @nn.compact
     def __call__(self, x, temb, context):
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_0")(x, temb)
         x, m = Transformer2D(
             self.channels, self.heads, self.context_dim, collect_probs=self.collect_probs,
-            dtype=self.dtype, name="attentions_0"
+            dtype=self.dtype, flash_min_dim=self.flash_min_dim, name="attentions_0"
         )(x, context)
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x, temb)
         return x, ([m] if m is not None else [])
@@ -152,6 +155,7 @@ class CrossAttnUpBlock(nn.Module):
     add_upsample: bool
     collect_probs: bool = False
     dtype: jnp.dtype = jnp.float32
+    flash_min_dim: int = 65
 
     @nn.compact
     def __call__(self, x, res_samples, temb, context):
@@ -166,6 +170,7 @@ class CrossAttnUpBlock(nn.Module):
                 self.context_dim,
                 collect_probs=collect_probs,
                 dtype=self.dtype,
+                flash_min_dim=self.flash_min_dim,
                 name=f"attentions_{i}",
             )(x, context)
             if m is not None:
@@ -195,6 +200,11 @@ class UNet2DConditionModel(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     gradient_checkpointing: bool = False
+    # Pallas flash dispatch cutoff for the latent self-attentions: 65 keeps
+    # the measured forward-only policy (generation); the train step sets 40
+    # so the D=40 layers use the memory-efficient flash BACKWARD instead of
+    # XLA materializing f32 (B,H,4096,4096) probability tensors.
+    flash_min_dim: int = 65
 
     @nn.compact
     def __call__(
@@ -244,6 +254,7 @@ class UNet2DConditionModel(nn.Module):
                     add_downsample=not is_last,
                     collect_probs=collect_attn,
                     dtype=self.dtype,
+                    flash_min_dim=self.flash_min_dim,
                     name=f"down_blocks_{i}",
                 )
                 x, outs, ms = block(x, temb, encoder_hidden_states)
@@ -267,6 +278,7 @@ class UNet2DConditionModel(nn.Module):
             cfg.cross_attention_dim,
             collect_probs=collect_attn,
             dtype=self.dtype,
+            flash_min_dim=self.flash_min_dim,
             name="mid_block",
         )(x, temb, encoder_hidden_states)
         maps += ms
@@ -288,6 +300,7 @@ class UNet2DConditionModel(nn.Module):
                     add_upsample=not is_last,
                     collect_probs=collect_attn,
                     dtype=self.dtype,
+                    flash_min_dim=self.flash_min_dim,
                     name=f"up_blocks_{i}",
                 )(x, res_samples, temb, encoder_hidden_states)
                 maps += ms

@@ -115,3 +115,41 @@ def test_flash_tpu_strict():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
     )
+
+
+def test_attention_flash_min_dim_dispatch_parity():
+    """The training-mode cutoff (flash_min_dim=40) must route the D=40
+    self-attention through the flash kernels with gradients matching the XLA
+    path (the train step's memory-efficient backward — see
+    kernels/attention.py docstring)."""
+    from agenda_tpu.kernels import _backend
+    from agenda_tpu.kernels.attention import attention
+
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(1, 1024, 2, 40).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1024, 2, 40).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 1024, 2, 40).astype(np.float32))
+
+    orig = _backend.on_tpu
+    _backend.on_tpu = lambda: True  # force dispatch; kernels interpret on CPU
+    import agenda_tpu.kernels.attention as attn_mod
+    attn_mod._on_tpu = lambda: True
+    try:
+        def f_flash(q):
+            return jnp.sum(attention(q, k, v, flash_min_dim=40) ** 2)
+
+        def f_xla(q):
+            return jnp.sum(attention(q, k, v, use_flash=False) ** 2)
+
+        gf = jax.grad(f_flash)(q)
+        gx = jax.grad(f_xla)(q)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=2e-3, atol=2e-3)
+        # default cutoff still excludes D=40 (generation forward policy)
+        out_default = attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out_default),
+                                   np.asarray(attention(q, k, v, use_flash=False)),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        _backend.on_tpu = orig
+        attn_mod._on_tpu = orig
