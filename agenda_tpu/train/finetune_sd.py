@@ -36,6 +36,7 @@ from agenda_tpu.core.schedules import (
 )
 from agenda_tpu.models import AutoencoderKL, CLIPTextModel, UNet2DConditionModel
 from agenda_tpu.models.vae import sample_latents
+from agenda_tpu.train.optim import FusedAdamW8bit
 
 
 @jax.tree_util.register_dataclass
@@ -153,8 +154,16 @@ def make_train_step(
             return diffusion_loss(unet, schedule, params, latents, context, k_loss, loss_cfg)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if isinstance(tx, FusedAdamW8bit):
+            # Single-HBM-pass fused update (kernels/fused_adamw.py): the
+            # whole clip+Adam+decay+apply runs as one Pallas kernel per leaf.
+            new_params, new_opt, grad_norm = tx.apply(
+                grads, state.opt_state, state.params
+            )
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            grad_norm = optax.global_norm(grads)
         new_ema = state.ema
         if use_ema and state.ema is not None:
             if gradient_accumulation_steps > 1:
@@ -172,7 +181,7 @@ def make_train_step(
         )
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
         }
         return new_state, metrics
 

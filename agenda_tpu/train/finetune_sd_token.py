@@ -31,6 +31,7 @@ from flax import traverse_util
 from agenda_tpu.core.schedules import DiffusionSchedule, add_noise, get_velocity, min_snr_weights
 from agenda_tpu.models import AutoencoderKL, CLIPTextModel, UNet2DConditionModel
 from agenda_tpu.models.vae import sample_latents
+from agenda_tpu.train.optim import FusedAdamW8bit
 
 
 # ---------------------------------------------------------------------------
@@ -307,8 +308,14 @@ def make_token_train_step(
             grads = {"embedding": grads["embedding"],
                      "unet": jax.tree.map(lambda g: g * scale, grads["unet"])}
 
-        updates, new_opt = tx.update(grads, state.opt_state, opt_params)
-        new_params = optax.apply_updates(opt_params, updates)
+        if isinstance(tx, FusedAdamW8bit):
+            # Single-pass fused int8 AdamW (kernels/fused_adamw.py); the
+            # conditional UNet-only clip above already ran, so the fused
+            # optimizer is built with max_grad_norm=None.
+            new_params, new_opt, _ = tx.apply(grads, state.opt_state, opt_params)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, opt_params)
+            new_params = optax.apply_updates(opt_params, updates)
 
         new_state = TokenTrainState(
             embedding=new_params["embedding"],

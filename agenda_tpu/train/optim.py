@@ -17,7 +17,7 @@ moments cut the optimizer state from 6.9 GB to ~1.8 GB.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -199,6 +199,87 @@ def scale_by_adam_8bit(
     return optax.GradientTransformation(init, update)
 
 
+class FusedAdamW8bit(NamedTuple):
+    """One-pass fused int8 AdamW (kernels/fused_adamw.py) — NOT an optax
+    GradientTransformation: ``apply`` consumes grads and params and returns
+    the updated params directly so the whole update (clip scale, Adam with
+    int8 moment dequant/requant, decoupled weight decay, lr) is a single HBM
+    pass per leaf instead of optax's chain of materialized stages.
+
+    ``init`` produces the exact ``ScaleByAdam8bitState`` layout of
+    :func:`scale_by_adam_8bit`, so moments round-trip between the fused and
+    chained optimizers.
+    """
+
+    init: Any
+    apply: Any  # (grads, opt_state, params) -> (new_params, new_state, grad_norm)
+
+
+def make_fused_adamw_8bit(
+    learning_rate_fn,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-2,
+    max_grad_norm: Optional[float] = 1.0,
+    min_quantize_size: int = 4096,
+) -> FusedAdamW8bit:
+    """Fused equivalent of ``chain(clip_by_global_norm, adamw_8bit)`` +
+    ``optax.apply_updates`` with matching numerics:
+
+    - clip scale = 1 if ||g|| < max_norm else max_norm/||g|| (optax clip);
+    - lr = learning_rate_fn(count) BEFORE increment (optax scale_by_schedule);
+    - bias corrections use count+1 (optax scale_by_adam convention);
+    - p' = p - lr * (adam_update + weight_decay * p) (decoupled AdamW).
+    """
+    from agenda_tpu.kernels.fused_adamw import fused_adamw8bit_leaf
+
+    base = scale_by_adam_8bit(b1, b2, eps, min_quantize_size)
+
+    def apply(grads, state: ScaleByAdam8bitState, params):
+        gnorm = optax.global_norm(grads)
+        if max_grad_norm is None:
+            gscale = jnp.float32(1.0)
+        else:
+            gscale = jnp.where(
+                gnorm < max_grad_norm, 1.0, max_grad_norm / gnorm
+            ).astype(jnp.float32)
+        count = state.count
+        lr = jnp.asarray(learning_rate_fn(count), jnp.float32)
+        count1 = count + 1
+        cf = count1.astype(jnp.float32)
+        c1 = 1.0 - b1 ** cf
+        c2 = 1.0 - b2 ** cf
+        scalars = jnp.stack([lr, gscale, c1, c2]).reshape(1, 4)
+
+        def upd(p, g, m_z, v_z):
+            if isinstance(m_z, _Quantized):
+                p2, qm, sm, qv, sv = fused_adamw8bit_leaf(
+                    p, g.astype(jnp.float32), m_z.q, m_z.scale, v_z.q, v_z.scale,
+                    scalars, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+                )
+                return p2, _Quantized(qm, sm), _Quantized(qv, sv)
+            # Small leaves: same math in plain XLA (they are tiny).
+            g = g.astype(jnp.float32) * gscale
+            m = b1 * m_z + (1.0 - b1) * g
+            v = b2 * v_z + (1.0 - b2) * g * g
+            u = (m / c1) / (jnp.sqrt(v / c2) + eps)
+            return p - lr * (u + weight_decay * p), m, v
+
+        is_q = lambda x: isinstance(x, _Quantized)
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_p = jax.tree_util.tree_flatten(params)[0]
+        flat_m = jax.tree_util.tree_flatten(state.mu, is_leaf=is_q)[0]
+        flat_v = jax.tree_util.tree_flatten(state.nu, is_leaf=is_q)[0]
+        outs = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+        new_params = jax.tree_util.tree_unflatten(treedef, [o[0] for o in outs])
+        mu = jax.tree_util.tree_unflatten(treedef, [o[1] for o in outs])
+        nu = jax.tree_util.tree_unflatten(treedef, [o[2] for o in outs])
+        return new_params, ScaleByAdam8bitState(count=count1, mu=mu, nu=nu), gnorm
+
+    return FusedAdamW8bit(init=base.init, apply=apply)
+
+
 def adamw_8bit(
     learning_rate_fn,
     b1: float = 0.9,
@@ -223,10 +304,26 @@ def make_optimizer(
     max_grad_norm: Optional[float] = 1.0,
     gradient_accumulation_steps: int = 1,
     use_8bit_adam: bool = False,
-) -> optax.GradientTransformation:
+    fused: bool = False,
+):
     """AdamW with global-norm clipping (finetune_sd.py:823-824), optional
     gradient accumulation (accelerate's accumulate(), finetune_sd.py:761),
-    and optional int8-moment AdamW (finetune_sd.py:606-614)."""
+    and optional int8-moment AdamW (finetune_sd.py:606-614).
+
+    ``fused=True`` (requires ``use_8bit_adam`` and no accumulation) returns
+    the single-HBM-pass :class:`FusedAdamW8bit` instead of an optax chain —
+    same numerics, one Pallas kernel per leaf (see kernels/fused_adamw.py).
+    """
+    if fused:
+        if not use_8bit_adam or gradient_accumulation_steps != 1:
+            raise ValueError(
+                "fused optimizer requires use_8bit_adam and "
+                "gradient_accumulation_steps == 1"
+            )
+        return make_fused_adamw_8bit(
+            learning_rate_fn, adam_beta1, adam_beta2, adam_epsilon,
+            adam_weight_decay, max_grad_norm,
+        )
     chain = []
     if max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
