@@ -46,6 +46,12 @@ def parse_args(argv=None):
     p.add_argument("--num-inference-steps", type=int, default=20)
     p.add_argument("--guidance-scale", type=float, default=7.5)
     p.add_argument("--resolution", type=int, default=512, help="Sampling resolution before resize.")
+    p.add_argument("--tgate-step", type=int, default=0,
+                   help="TGATE fast sampling (arXiv:2404.02747): freeze cross-"
+                        "attention at this step and run the rest CFG-collapsed "
+                        "at half batch. APPROXIMATE (changes images and DAAM "
+                        "heatmaps) — off (0) by default; 0 keeps the exact "
+                        "reference-parity sampler.")
     return p.parse_args(argv)
 
 
@@ -108,6 +114,7 @@ def main(argv=None):
             width=args.resolution,
             words=words,
             out_size=args.image_size,
+            tgate_step=args.tgate_step,
         )
 
     def write(batch_seeds, result):

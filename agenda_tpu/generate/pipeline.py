@@ -184,9 +184,18 @@ class StableDiffusionPipeline:
             scheduler_type: str,
             num_inference_steps: int,
             out_size: int,  # 0 = native resolution
+            tgate_step: int = 0,  # 0 = exact sampling; m>0 = TGATE gate step
         ):
             b = latents0.shape[0]
             n_tokens = context.shape[1]
+
+            def heat_from_maps(maps):
+                acc = jnp.zeros((b, n_tokens, latent_hw, latent_hw), jnp.float32)
+                for m in maps:
+                    cond = m[b:]  # drop unconditional half (hook.py:48-49)
+                    r = resize_bicubic(cond, latent_hw, latent_hw)
+                    acc = acc + jnp.maximum(r, 0.0)
+                return acc, jnp.float32(len(maps))
 
             def unet_cfg(latents, t):
                 lat2 = jnp.concatenate([latents, latents], axis=0)
@@ -199,18 +208,52 @@ class StableDiffusionPipeline:
                 )
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
-                heat = None
-                if collect_heatmaps:
-                    acc = jnp.zeros((b, n_tokens, latent_hw, latent_hw), jnp.float32)
-                    for m in maps:
-                        cond = m[b:]  # drop unconditional half (hook.py:48-49)
-                        r = resize_bicubic(cond, latent_hw, latent_hw)
-                        acc = acc + jnp.maximum(r, 0.0)
-                    heat = (acc, jnp.float32(len(maps)))
+                heat = heat_from_maps(maps) if collect_heatmaps else None
                 return eps, heat
 
             heat_sum0 = jnp.zeros((b, n_tokens, latent_hw, latent_hw), jnp.float32)
             heat_cnt0 = jnp.float32(0.0)
+
+            # TGATE (opt-in, arXiv:2404.02747 — PAPERS.md item 2): after the
+            # gate step the per-layer cross-attention output contributions are
+            # frozen and replayed; since the two CFG halves share x_t and
+            # differ ONLY through cross-attention, the post-gate UNet runs at
+            # batch B instead of 2B (eps_u == eps_c, guidance is a no-op).
+            # This APPROXIMATES the exact sampler (never the default) and
+            # freezes the DAAM heatmap contribution at the gate step for the
+            # remaining steps.
+            use_tgate = 0 < tgate_step < num_inference_steps
+            mgate = tgate_step
+
+            def gate_call(latents, t):
+                """2B forward capturing the cross-attn cache (+ CFG eps)."""
+                lat2 = jnp.concatenate([latents, latents], axis=0)
+                eps, maps, cross = unet.apply(
+                    unet_params,
+                    lat2,
+                    jnp.broadcast_to(t, (2 * b,)),
+                    context,
+                    collect_attn=collect_heatmaps,
+                    collect_cross=True,
+                )
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                # Cache = mean of the two CFG halves' contributions (TGATE).
+                cross_avg = [0.5 * (c[:b] + c[b:]) for c in cross]
+                heat = heat_from_maps(maps) if collect_heatmaps else None
+                return eps, cross_avg, heat
+
+            context_cond = context[b:]
+
+            def unet_gated(latents, t, cross_avg):
+                eps, _ = unet.apply(
+                    unet_params,
+                    latents,
+                    jnp.broadcast_to(t, (b,)),
+                    context_cond,
+                    cached_cross=cross_avg,
+                )
+                return eps
 
             if scheduler_type == "pndm":
                 state0 = plms_init_state(latents0.shape)
@@ -224,9 +267,35 @@ class StableDiffusionPipeline:
                         hcnt = hcnt + heat[1]
                     return (state, lat, hsum, hcnt), ()
 
-                (_, latents, hsum, hcnt), _ = jax.lax.scan(
-                    body, (state0, latents0, heat_sum0, heat_cnt0), timesteps
-                )
+                if not use_tgate:
+                    (_, latents, hsum, hcnt), _ = jax.lax.scan(
+                        body, (state0, latents0, heat_sum0, heat_cnt0), timesteps
+                    )
+                else:
+                    (state, lat, hsum, hcnt), _ = jax.lax.scan(
+                        body, (state0, latents0, heat_sum0, heat_cnt0),
+                        timesteps[:mgate],
+                    )
+                    eps, cross_avg, heat = gate_call(lat, timesteps[mgate])
+                    state, lat = plms_step(
+                        schedule, state, eps, lat, timesteps[mgate], num_inference_steps
+                    )
+                    n_rest = num_inference_steps - mgate  # gate + replayed steps
+                    if heat is not None:
+                        hsum = hsum + heat[0] * n_rest
+                        hcnt = hcnt + heat[1] * n_rest
+
+                    def body2(carry, t):
+                        state, lat = carry
+                        eps = unet_gated(lat, t, cross_avg)
+                        state, lat = plms_step(
+                            schedule, state, eps, lat, t, num_inference_steps
+                        )
+                        return (state, lat), ()
+
+                    (_, latents), _ = jax.lax.scan(
+                        body2, (state, lat), timesteps[mgate + 1:]
+                    )
             elif scheduler_type == "ddim":
                 step_ratio = schedule.num_train_timesteps // num_inference_steps
 
@@ -239,9 +308,29 @@ class StableDiffusionPipeline:
                         hcnt = hcnt + heat[1]
                     return (lat, hsum, hcnt), ()
 
-                (latents, hsum, hcnt), _ = jax.lax.scan(
-                    body, (latents0, heat_sum0, heat_cnt0), timesteps
-                )
+                if not use_tgate:
+                    (latents, hsum, hcnt), _ = jax.lax.scan(
+                        body, (latents0, heat_sum0, heat_cnt0), timesteps
+                    )
+                else:
+                    (lat, hsum, hcnt), _ = jax.lax.scan(
+                        body, (latents0, heat_sum0, heat_cnt0), timesteps[:mgate]
+                    )
+                    eps, cross_avg, heat = gate_call(lat, timesteps[mgate])
+                    lat = ddim_step(
+                        schedule, eps, timesteps[mgate],
+                        timesteps[mgate] - step_ratio, lat,
+                    )
+                    n_rest = num_inference_steps - mgate
+                    if heat is not None:
+                        hsum = hsum + heat[0] * n_rest
+                        hcnt = hcnt + heat[1] * n_rest
+
+                    def body2(lat, t):
+                        eps = unet_gated(lat, t, cross_avg)
+                        return ddim_step(schedule, eps, t, t - step_ratio, lat), ()
+
+                    latents, _ = jax.lax.scan(body2, lat, timesteps[mgate + 1:])
             else:
                 raise ValueError(f"Unknown scheduler {scheduler_type}")
 
@@ -291,6 +380,7 @@ class StableDiffusionPipeline:
             sample,
             static_argnames=(
                 "collect_heatmaps", "scheduler_type", "num_inference_steps", "out_size",
+                "tgate_step",
             ),
         )
 
@@ -313,6 +403,7 @@ class StableDiffusionPipeline:
         width: int = 512,
         words: Optional[Sequence[str]] = None,
         out_size: int = 0,
+        tgate_step: int = 0,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Generate len(seeds) images for one prompt. ``out_size`` resizes the
         decoded images on device before transfer (0 = keep native resolution).
@@ -323,6 +414,11 @@ class StableDiffusionPipeline:
         With ``words`` given (implies collect), the second return is instead a
         dict {word: uint8 (B, latent_hw, latent_hw)} of min-max-normalized
         per-word heatmaps, fully computed on device (minimal host transfer).
+
+        ``tgate_step=m`` (0 < m < num_inference_steps) enables TGATE
+        (arXiv:2404.02747): cross-attention outputs are frozen at step m and
+        the remaining steps run CFG-collapsed at half batch — faster,
+        APPROXIMATE sampling (off by default; changes images and heatmaps).
         """
         return self.generate_async(
             prompt,
@@ -335,6 +431,7 @@ class StableDiffusionPipeline:
             width=width,
             words=words,
             out_size=out_size,
+            tgate_step=tgate_step,
         )()
 
     def generate_async(
@@ -349,6 +446,7 @@ class StableDiffusionPipeline:
         width: int = 512,
         words: Optional[Sequence[str]] = None,
         out_size: int = 0,
+        tgate_step: int = 0,
     ):
         """Dispatch one batch without blocking; call the returned thunk for
         the ``__call__`` result.
@@ -409,6 +507,7 @@ class StableDiffusionPipeline:
             self.scheduler_type,
             num_inference_steps,
             out_size,
+            tgate_step,
         )
         def materialize():
             imgs = np.asarray(images)

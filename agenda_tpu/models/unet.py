@@ -83,31 +83,35 @@ class CrossAttnDownBlock(nn.Module):
     context_dim: int
     add_downsample: bool
     collect_probs: bool = False
+    collect_cross: bool = False
     dtype: jnp.dtype = jnp.float32
     flash_min_dim: int = 65
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, cached_cross=None):
         collect_probs = self.collect_probs
-        outputs, maps = [], []
+        outputs, maps, cross = [], [], []
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
-            x, m = Transformer2D(
+            x, m, co = Transformer2D(
                 self.out_channels,
                 self.heads,
                 self.context_dim,
                 collect_probs=collect_probs,
+                collect_cross=self.collect_cross,
                 dtype=self.dtype,
                 flash_min_dim=self.flash_min_dim,
                 name=f"attentions_{i}",
-            )(x, context)
+            )(x, context, None if cached_cross is None else [cached_cross[i]])
             if m is not None:
                 maps.append(m)
+            if co is not None:
+                cross += co
             outputs.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
             outputs.append(x)
-        return x, outputs, maps
+        return x, outputs, maps, cross
 
 
 class DownBlock(nn.Module):
@@ -133,18 +137,20 @@ class MidBlock(nn.Module):
     heads: int
     context_dim: int
     collect_probs: bool = False
+    collect_cross: bool = False
     dtype: jnp.dtype = jnp.float32
     flash_min_dim: int = 65
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, cached_cross=None):
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_0")(x, temb)
-        x, m = Transformer2D(
+        x, m, co = Transformer2D(
             self.channels, self.heads, self.context_dim, collect_probs=self.collect_probs,
+            collect_cross=self.collect_cross,
             dtype=self.dtype, flash_min_dim=self.flash_min_dim, name="attentions_0"
-        )(x, context)
+        )(x, context, None if cached_cross is None else [cached_cross[0]])
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x, temb)
-        return x, ([m] if m is not None else [])
+        return x, ([m] if m is not None else []), (co if co is not None else [])
 
 
 class CrossAttnUpBlock(nn.Module):
@@ -154,30 +160,34 @@ class CrossAttnUpBlock(nn.Module):
     context_dim: int
     add_upsample: bool
     collect_probs: bool = False
+    collect_cross: bool = False
     dtype: jnp.dtype = jnp.float32
     flash_min_dim: int = 65
 
     @nn.compact
-    def __call__(self, x, res_samples, temb, context):
+    def __call__(self, x, res_samples, temb, context, cached_cross=None):
         collect_probs = self.collect_probs
-        maps = []
+        maps, cross = [], []
         for i in range(self.num_layers):
             x = jnp.concatenate([x, res_samples[-(i + 1)]], axis=-1)
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
-            x, m = Transformer2D(
+            x, m, co = Transformer2D(
                 self.out_channels,
                 self.heads,
                 self.context_dim,
                 collect_probs=collect_probs,
+                collect_cross=self.collect_cross,
                 dtype=self.dtype,
                 flash_min_dim=self.flash_min_dim,
                 name=f"attentions_{i}",
-            )(x, context)
+            )(x, context, None if cached_cross is None else [cached_cross[i]])
             if m is not None:
                 maps.append(m)
+            if co is not None:
+                cross += co
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
-        return x, maps
+        return x, maps, cross
 
 
 class UpBlock(nn.Module):
@@ -213,9 +223,19 @@ class UNet2DConditionModel(nn.Module):
         timesteps: jax.Array,  # (B,) or scalar
         encoder_hidden_states: jax.Array,  # (B, 77, cross_attention_dim)
         collect_attn: bool = False,
+        collect_cross: bool = False,
+        cached_cross: Optional[List[jax.Array]] = None,
     ):
-        """Returns (eps_pred (B,H,W,C), cross_attn_maps list[(B,tokens,h,w)] | None)."""
+        """Returns (eps_pred (B,H,W,C), cross_attn_maps list[(B,tokens,h,w)] | None).
+
+        TGATE (opt-in, arXiv:2404.02747): ``collect_cross=True`` additionally
+        returns the per-layer cross-attention output contributions (flat list,
+        traversal order) as a third element; ``cached_cross=<that list>``
+        replays them instead of computing cross-attention (the sampler's
+        post-gate phase). Mutually exclusive.
+        """
         cfg = self.config
+        assert not (collect_cross and cached_cross is not None)
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -237,6 +257,19 @@ class UNet2DConditionModel(nn.Module):
 
         heads = cfg.attention_head_dim
         maps: List[jax.Array] = []
+        cross_outs: List[jax.Array] = []
+        # Per-block slices of the flat cached_cross list (traversal order:
+        # down blocks, mid, up blocks — same order collect_cross emits).
+        cache_pos = 0
+
+        def take_cache(n: int):
+            nonlocal cache_pos
+            if cached_cross is None:
+                return None
+            sl = cached_cross[cache_pos:cache_pos + n]
+            cache_pos += n
+            return sl
+
         res_stack: List[jax.Array] = [x]
 
         remat = nn.remat if self.gradient_checkpointing else (lambda m: m)
@@ -253,12 +286,15 @@ class UNet2DConditionModel(nn.Module):
                     cfg.cross_attention_dim,
                     add_downsample=not is_last,
                     collect_probs=collect_attn,
+                    collect_cross=collect_cross,
                     dtype=self.dtype,
                     flash_min_dim=self.flash_min_dim,
                     name=f"down_blocks_{i}",
                 )
-                x, outs, ms = block(x, temb, encoder_hidden_states)
+                x, outs, ms, cs = block(x, temb, encoder_hidden_states,
+                                        take_cache(cfg.layers_per_block))
                 maps += ms
+                cross_outs += cs
             elif block_type == "DownBlock2D":
                 x, outs = remat(DownBlock)(
                     out_ch,
@@ -272,16 +308,18 @@ class UNet2DConditionModel(nn.Module):
             res_stack += outs
 
         # Mid
-        x, ms = remat(MidBlock)(
+        x, ms, cs = remat(MidBlock)(
             cfg.block_out_channels[-1],
             heads,
             cfg.cross_attention_dim,
             collect_probs=collect_attn,
+            collect_cross=collect_cross,
             dtype=self.dtype,
             flash_min_dim=self.flash_min_dim,
             name="mid_block",
-        )(x, temb, encoder_hidden_states)
+        )(x, temb, encoder_hidden_states, take_cache(1))
         maps += ms
+        cross_outs += cs
 
         # Up
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -292,18 +330,20 @@ class UNet2DConditionModel(nn.Module):
             res_samples = res_stack[-n_res:]
             res_stack = res_stack[:-n_res]
             if block_type == "CrossAttnUpBlock2D":
-                x, ms = remat(CrossAttnUpBlock)(
+                x, ms, cs = remat(CrossAttnUpBlock)(
                     out_ch,
                     n_res,
                     heads,
                     cfg.cross_attention_dim,
                     add_upsample=not is_last,
                     collect_probs=collect_attn,
+                    collect_cross=collect_cross,
                     dtype=self.dtype,
                     flash_min_dim=self.flash_min_dim,
                     name=f"up_blocks_{i}",
-                )(x, res_samples, temb, encoder_hidden_states)
+                )(x, res_samples, temb, encoder_hidden_states, take_cache(n_res))
                 maps += ms
+                cross_outs += cs
             elif block_type == "UpBlock2D":
                 x = remat(UpBlock)(
                     out_ch,
@@ -318,4 +358,7 @@ class UNet2DConditionModel(nn.Module):
         x = GroupNormAct(num_groups=min(32, x.shape[-1]), epsilon=1e-5, act="silu",
                          dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
-        return x.astype(jnp.float32), (maps if collect_attn else None)
+        eps = x.astype(jnp.float32)
+        if collect_cross:
+            return eps, (maps if collect_attn else None), cross_outs
+        return eps, (maps if collect_attn else None)

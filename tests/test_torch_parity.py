@@ -321,7 +321,7 @@ def test_transformer2d_forward_parity(tiny_unet_export):
     x = rng.randn(2, 6, 6, c).astype(np.float32)
     ctx = rng.randn(2, 11, cfg.cross_attention_dim).astype(np.float32)
 
-    flax_out, _ = Transformer2D(
+    flax_out, _, _ = Transformer2D(
         channels=c, heads=cfg.attention_head_dim,
         context_dim=cfg.cross_attention_dim).apply(
         {"params": params["down_blocks_0"]["attentions_0"]},
