@@ -20,7 +20,7 @@ python -m agenda_tpu.cli.finetune_sd_token \
   --initialize_token "cars" "Utah" "New Zealand" \
   --reg_weight 0.5 \
   --report_to tensorboard \
-  --gradient_checkpointing \
   --train_unet \
   --with_cross_attn_reg \
   --embedding_path output/LINZ-UGRC/sd1.4-token-finetune-stage-one/learned_embeds_steps_9000.bin
+# --gradient_checkpointing dropped: see finetune_sd_token.sh note.
