@@ -292,3 +292,26 @@ def test_train_step_with_fused_optimizer():
     for a, b_ in zip(flat_f, flat_c):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.tpu
+def test_fused_adamw_tpu_strict():
+    """Compiled-kernel parity on the real chip (interpret-mode parity is
+    covered above; this catches TPU-lowering-specific divergence). Same
+    policy as tests/test_flash.py::test_flash_tpu_strict."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU backend (run with AGENDA_TPU_TESTS=1)")
+    rng = np.random.RandomState(3)
+    # One quantized leaf (>= min_quantize_size elements) + one small leaf.
+    params = {"w": jnp.asarray(rng.randn(128, 40).astype(np.float32)),
+              "b": jnp.asarray(rng.randn(40).astype(np.float32))}
+    grads_seq = [jax.tree.map(
+        lambda p, i=i: jnp.asarray(rng.randn(*p.shape).astype(np.float32)) * 0.1,
+        params) for i in range(3)]
+    lr_fn = lr_schedule("constant", 1e-3, 0, 100)
+    pc, sc = _run_chained(_chained(lr_fn), params, grads_seq)
+    pf, sf, _ = _run_fused(_fused(lr_fn), params, grads_seq)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        pc, pf)
