@@ -154,7 +154,21 @@ def make_train_step(
             return diffusion_loss(unet, schedule, params, latents, context, k_loss, loss_cfg)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        if isinstance(tx, FusedAdamW8bit):
+        fused = isinstance(tx, FusedAdamW8bit)
+        fuse_ema = (fused and use_ema and state.ema is not None
+                    and gradient_accumulation_steps == 1)
+        if fuse_ema:
+            # Single-HBM-pass fused update + EMA shadow blend in the same
+            # kernel (kernels/fused_adamw.py): the new params never re-read
+            # from HBM for the EMA pass. Decay matches core/ema.ema_update.
+            t = state.ema.step.astype(jnp.float32) + 1.0
+            decay = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+            new_params, new_opt, grad_norm, new_shadow = tx.apply(
+                grads, state.opt_state, state.params,
+                ema=state.ema.params, ema_decay=decay,
+            )
+            new_ema = EMAState(params=new_shadow, step=state.ema.step + 1)
+        elif fused:
             # Single-HBM-pass fused update (kernels/fused_adamw.py): the
             # whole clip+Adam+decay+apply runs as one Pallas kernel per leaf.
             new_params, new_opt, grad_norm = tx.apply(
@@ -164,18 +178,19 @@ def make_train_step(
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             grad_norm = optax.global_norm(grads)
-        new_ema = state.ema
-        if use_ema and state.ema is not None:
-            if gradient_accumulation_steps > 1:
-                is_update = ((state.step + 1) % gradient_accumulation_steps) == 0
-                new_ema = jax.lax.cond(
-                    is_update,
-                    lambda e: ema_update(e, new_params, ema_decay),
-                    lambda e: e,
-                    state.ema,
-                )
-            else:
-                new_ema = ema_update(state.ema, new_params, ema_decay)
+        if not fuse_ema:
+            new_ema = state.ema
+            if use_ema and state.ema is not None:
+                if gradient_accumulation_steps > 1:
+                    is_update = ((state.step + 1) % gradient_accumulation_steps) == 0
+                    new_ema = jax.lax.cond(
+                        is_update,
+                        lambda e: ema_update(e, new_params, ema_decay),
+                        lambda e: e,
+                        state.ema,
+                    )
+                else:
+                    new_ema = ema_update(state.ema, new_params, ema_decay)
         new_state = TrainState(
             params=new_params, opt_state=new_opt, step=state.step + 1, ema=new_ema
         )

@@ -236,7 +236,10 @@ def make_fused_adamw_8bit(
 
     base = scale_by_adam_8bit(b1, b2, eps, min_quantize_size)
 
-    def apply(grads, state: ScaleByAdam8bitState, params):
+    def apply(grads, state: ScaleByAdam8bitState, params, ema=None, ema_decay=None):
+        """``ema``/``ema_decay`` (optional) fuse the EMA shadow update into
+        the same kernel pass (the new params never re-read from HBM); the
+        return gains a trailing ``new_ema`` tree when given."""
         gnorm = optax.global_norm(grads)
         if max_grad_norm is None:
             gscale = jnp.float32(1.0)
@@ -250,32 +253,50 @@ def make_fused_adamw_8bit(
         cf = count1.astype(jnp.float32)
         c1 = 1.0 - b1 ** cf
         c2 = 1.0 - b2 ** cf
-        scalars = jnp.stack([lr, gscale, c1, c2]).reshape(1, 4)
+        with_ema = ema is not None
+        if with_ema:
+            decay = jnp.asarray(ema_decay, jnp.float32)
+            scalars = jnp.stack([lr, gscale, c1, c2, decay]).reshape(1, 5)
+        else:
+            decay = None
+            scalars = jnp.stack([lr, gscale, c1, c2]).reshape(1, 4)
 
-        def upd(p, g, m_z, v_z):
+        def upd(p, g, m_z, v_z, e):
             if isinstance(m_z, _Quantized):
-                p2, qm, sm, qv, sv = fused_adamw8bit_leaf(
+                out = fused_adamw8bit_leaf(
                     p, g.astype(jnp.float32), m_z.q, m_z.scale, v_z.q, v_z.scale,
                     scalars, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+                    ema=e,
                 )
-                return p2, _Quantized(qm, sm), _Quantized(qv, sv)
+                p2, qm, sm, qv, sv = out[:5]
+                e2 = out[5] if with_ema else None
+                return p2, _Quantized(qm, sm), _Quantized(qv, sv), e2
             # Small leaves: same math in plain XLA (they are tiny).
             g = g.astype(jnp.float32) * gscale
             m = b1 * m_z + (1.0 - b1) * g
             v = b2 * v_z + (1.0 - b2) * g * g
             u = (m / c1) / (jnp.sqrt(v / c2) + eps)
-            return p - lr * (u + weight_decay * p), m, v
+            p2 = p - lr * (u + weight_decay * p)
+            e2 = (e * decay + (1.0 - decay) * p2) if with_ema else None
+            return p2, m, v, e2
 
         is_q = lambda x: isinstance(x, _Quantized)
         flat_g, treedef = jax.tree_util.tree_flatten(grads)
         flat_p = jax.tree_util.tree_flatten(params)[0]
         flat_m = jax.tree_util.tree_flatten(state.mu, is_leaf=is_q)[0]
         flat_v = jax.tree_util.tree_flatten(state.nu, is_leaf=is_q)[0]
-        outs = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+        flat_e = (jax.tree_util.tree_flatten(ema)[0] if with_ema
+                  else [None] * len(flat_p))
+        outs = [upd(p, g, m, v, e)
+                for p, g, m, v, e in zip(flat_p, flat_g, flat_m, flat_v, flat_e)]
         new_params = jax.tree_util.tree_unflatten(treedef, [o[0] for o in outs])
         mu = jax.tree_util.tree_unflatten(treedef, [o[1] for o in outs])
         nu = jax.tree_util.tree_unflatten(treedef, [o[2] for o in outs])
-        return new_params, ScaleByAdam8bitState(count=count1, mu=mu, nu=nu), gnorm
+        new_state = ScaleByAdam8bitState(count=count1, mu=mu, nu=nu)
+        if with_ema:
+            new_ema = jax.tree_util.tree_unflatten(treedef, [o[3] for o in outs])
+            return new_params, new_state, gnorm, new_ema
+        return new_params, new_state, gnorm
 
     return FusedAdamW8bit(init=base.init, apply=apply)
 

@@ -315,3 +315,70 @@ def test_fused_adamw_tpu_strict():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
         pc, pf)
+
+
+def test_fused_ema_matches_separate_ema_update():
+    """apply(..., ema=...) must equal apply() followed by the standalone
+    ema blend — the kernel-fused shadow update changes traffic, not math."""
+    rng = np.random.RandomState(9)
+    params = {"w": jnp.asarray(rng.randn(64, 64).astype(np.float32)),
+              "b": jnp.asarray(rng.randn(5).astype(np.float32))}
+    ema = jax.tree.map(lambda p: p + 0.01, params)
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)) * 0.1, params)
+    lr_fn = lr_schedule("constant", 1e-3, 0, 100)
+    ft = _fused(lr_fn)
+    state = ft.init(params)
+    decay = 0.9
+    p_ref, s_ref, _ = jax.jit(ft.apply)(grads, state, params)
+    e_ref = jax.tree.map(lambda e, p: e * decay + (1 - decay) * p, ema, p_ref)
+    p_f, s_f, _, e_f = jax.jit(
+        lambda g, s, p, e: ft.apply(g, s, p, ema=e, ema_decay=decay)
+    )(grads, state, params, ema)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), p_ref, p_f)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), e_ref, e_f)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        jax.tree.leaves(s_ref), jax.tree.leaves(s_f))
+
+
+def test_train_step_fused_ema_matches_unfused():
+    """The full-SD train step with fused EMA must match the chained-optimizer
+    + ema_update step on the same inputs (tiny model)."""
+    import os
+    from agenda_tpu.core.schedules import make_schedule
+    from agenda_tpu.models import (AutoencoderKL, CLIPTextConfig, CLIPTextModel,
+                                   UNet2DConditionModel, UNetConfig, VAEConfig)
+    from agenda_tpu.train.finetune_sd import (LossConfig, init_train_state,
+                                              make_train_step)
+
+    unet = UNet2DConditionModel(UNetConfig.tiny())
+    vae = AutoencoderKL(VAEConfig.tiny())
+    text = CLIPTextModel(CLIPTextConfig.tiny())
+    k = jax.random.key(0)
+    unet_params = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.array([1]),
+                            jnp.zeros((1, 77, 32)))
+    vae_params = vae.init(k, jnp.zeros((1, 64, 64, 3)), k)
+    text_params = text.init(k, jnp.ones((1, 77), jnp.int32))
+    sched = make_schedule()
+    batch = {"pixel_values": jax.random.normal(jax.random.key(3), (2, 64, 64, 3)),
+             "input_ids": jnp.ones((2, 77), jnp.int32)}
+    lr_fn = lr_schedule("constant", 1e-4, 0, 100)
+
+    results = {}
+    for name, fused in (("fused", True), ("chain", False)):
+        tx = make_optimizer(lr_fn, use_8bit_adam=True, fused=fused)
+        state = init_train_state(unet_params, tx, use_ema=True)
+        step = jax.jit(make_train_step(unet, vae, text, sched, tx,
+                                       LossConfig(), use_ema=True))
+        for i in range(2):
+            state, m = step(state, vae_params, text_params, batch,
+                            jax.random.key(7))
+        results[name] = state
+    a, b = results["fused"], results["chain"]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(a.ema.params)[0]),
+        np.asarray(jax.tree.leaves(b.ema.params)[0]), rtol=2e-4, atol=2e-6)
+    assert int(a.ema.step) == int(b.ema.step) == 2
