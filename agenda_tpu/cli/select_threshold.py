@@ -49,6 +49,13 @@ def parse_args(argv=None):
     p.add_argument("--plot", type=str, default=None,
                    help="Write the analysis figures (PR curve, P/R/F1 vs "
                         "confidence, per-image TP/FP/FN scatter) to this PNG.")
+    p.add_argument("--visualize-samples", type=str, default=None, metavar="DIR",
+                   help="Write sample_TP/FN/FP.png detection overlays (GT "
+                        "dashed, preds colored by TP/FP at the selected "
+                        "threshold) — VisualizeTestResults.ipynb cells 26-32.")
+    p.add_argument("--sample-seed", type=int, default=0,
+                   help="Seed for the random sample choice in "
+                        "--visualize-samples (notebook: random.choice).")
     return p.parse_args(argv)
 
 
@@ -101,6 +108,76 @@ def _render_plots(path, table, result, records, iou_thresh):
     print(f"wrote {path}")
 
 
+def _render_sample_overlays(out_dir, records, threshold, iou_thresh, seed):
+    """Per-category (TP / FN / FP) sample overlays, matching the notebook's
+    cells 26/29/32: one random image containing that outcome, GT boxes
+    dashed, predictions >= threshold colored lime (TP) / red (FP);
+    below-threshold TPs red like the notebook's cell-26 coloring."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from PIL import Image
+
+    from agenda_tpu.annotate.threshold import match_predictions
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    per_img = []
+    for r in records:
+        scores_i, is_tp_i, n_gt_i = match_predictions([r], iou_thresh)
+        keep = scores_i >= threshold
+        tp = int(is_tp_i[keep].sum())
+        per_img.append({
+            "rec": r, "tp": tp, "fp": int(keep.sum()) - tp,
+            "fn": n_gt_i - tp,
+        })
+
+    def draw(rec, path, title):
+        img = None
+        if rec.get("img_path") and os.path.exists(rec["img_path"]):
+            img = np.asarray(Image.open(rec["img_path"]).convert("RGB"))
+        fig, ax = plt.subplots(1, 1, figsize=(6, 6))
+        if img is not None:
+            ax.imshow(img)
+        gt = rec.get("gt_instances") or {}
+        for b in np.asarray(gt.get("bboxes", np.zeros((0, 4)))):
+            x0, y0, x1, y1 = b
+            ax.plot([x0, x1, x1, x0, x0], [y0, y0, y1, y1, y0],
+                    c="cyan", ls="--", lw=1)
+            ax.scatter([(x0 + x1) / 2], [(y0 + y1) / 2], c="cyan", marker="x", lw=1)
+        pred = rec.get("pred_instances") or {}
+        boxes = np.asarray(pred.get("bboxes", np.zeros((0, 4))))
+        scores = np.asarray(pred.get("scores", np.zeros((0,))))
+        scores_i, is_tp_i, _ = match_predictions([rec], iou_thresh)
+        # match_predictions sorts by score desc; re-sort boxes the same way
+        order = np.argsort(-scores, kind="stable")
+        for b, s, tp in zip(boxes[order], scores[order], is_tp_i):
+            if s < threshold:
+                continue
+            color = "lime" if tp else "red"
+            x0, y0, x1, y1 = b
+            ax.plot([x0, x1, x1, x0, x0], [y0, y0, y1, y1, y0], c=color, lw=1.2)
+        ax.set_title(title, fontsize=10)
+        ax.set_axis_off()
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        print(f"wrote {path}")
+
+    for cat in ("tp", "fn", "fp"):
+        cands = [e for e in per_img if e[cat] > 0]
+        if not cands:
+            print(f"no {cat.upper()} sample at threshold {threshold:.3f}")
+            continue
+        e = cands[rng.randint(len(cands))]
+        draw(e["rec"], os.path.join(out_dir, f"sample_{cat.upper()}.png"),
+             f"{cat.upper()} sample @ thr={threshold:.3f} "
+             f"(TP={e['tp']} FP={e['fp']} FN={e['fn']})")
+
+
 def main(argv=None):
     args = parse_args(argv)
     records = load_predictions(args.prediction_pkl)
@@ -124,6 +201,10 @@ def main(argv=None):
                 json.dump({k: v.tolist() for k, v in table.items()}, f)
         if args.plot:
             _render_plots(args.plot, table, result, records, args.iou_thresh)
+        if args.visualize_samples:
+            _render_sample_overlays(args.visualize_samples, records,
+                                    result["threshold"], args.iou_thresh,
+                                    args.sample_seed)
     elif args.thresh_conf is None and args.emit_pseudo_coco:
         raise ValueError("No gt_instances in records: pass --thresh-conf explicitly.")
 

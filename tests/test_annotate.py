@@ -270,3 +270,26 @@ def test_select_threshold_cli_plot(tmp_path):
     res = st_main(["--prediction_pkl", pkl, "--plot", png])
     assert os.path.exists(png) and os.path.getsize(png) > 5000
     assert abs(res["threshold"] - 0.6) < 1e-9
+
+
+def test_select_threshold_cli_sample_overlays(tmp_path):
+    """--visualize-samples writes the notebook's TP/FN/FP sample overlays
+    (VisualizeTestResults.ipynb cells 26/29/32); works with real image files
+    and degrades gracefully when img_path is missing."""
+    from PIL import Image
+
+    from agenda_tpu.annotate.records import save_predictions
+    from agenda_tpu.cli.select_threshold import main as st_main
+
+    records = make_records()
+    # Give the first record a real image so the overlay draws on pixels.
+    img = str(tmp_path / "img0.png")
+    Image.fromarray(np.zeros((112, 112, 3), np.uint8)).save(img)
+    records[0]["img_path"] = img
+    pkl = str(tmp_path / "pred.pkl")
+    save_predictions(records, pkl)
+    out = str(tmp_path / "samples")
+    st_main(["--prediction_pkl", pkl, "--visualize-samples", out])
+    # records contain TPs and FPs at the F1-max threshold (0.6): both PNGs.
+    assert os.path.getsize(os.path.join(out, "sample_TP.png")) > 3000
+    assert os.path.getsize(os.path.join(out, "sample_FP.png")) > 3000
