@@ -182,14 +182,12 @@ def main(argv=None):
         lr = lr * args.gradient_accumulation_steps * args.train_batch_size * n_dev
     lr_fn = lr_schedule(args.lr_scheduler, lr, args.lr_warmup_steps * 1,
                         args.max_train_steps * 1)
-    # Fused single-pass int8 AdamW (kernels/fused_adamw.py) replaces the
-    # optax chain when it applies; AGENDA_TPU_NO_FUSED_ADAMW=1 opts out.
-    fused = (args.use_8bit_adam and args.gradient_accumulation_steps == 1
-             and os.environ.get("AGENDA_TPU_NO_FUSED_ADAMW") != "1")
+    # "auto": fused single-pass int8 AdamW (kernels/fused_adamw.py) replaces
+    # the optax chain when eligible; AGENDA_TPU_NO_FUSED_ADAMW=1 opts out.
     tx = make_optimizer(lr_fn, args.adam_beta1, args.adam_beta2, args.adam_weight_decay,
                         args.adam_epsilon, args.max_grad_norm,
                         args.gradient_accumulation_steps,
-                        use_8bit_adam=args.use_8bit_adam, fused=fused)
+                        use_8bit_adam=args.use_8bit_adam, fused="auto")
 
     state = init_train_state(bundle.unet_params, tx, args.use_ema)
 

@@ -254,14 +254,12 @@ def main(argv=None):
         lr = lr * args.gradient_accumulation_steps * args.train_batch_size * mesh.size
     lr_fn = lr_schedule(args.lr_scheduler, lr, args.lr_warmup_steps, args.max_train_steps,
                         args.lr_num_cycles, args.lr_power)
-    # Fused single-pass int8 AdamW when it applies (kernels/fused_adamw.py);
-    # AGENDA_TPU_NO_FUSED_ADAMW=1 opts out.
-    fused = (args.use_8bit_adam and args.gradient_accumulation_steps == 1
-             and os.environ.get("AGENDA_TPU_NO_FUSED_ADAMW") != "1")
+    # "auto": fused single-pass int8 AdamW when eligible
+    # (kernels/fused_adamw.py); AGENDA_TPU_NO_FUSED_ADAMW=1 opts out.
     tx = make_optimizer(lr_fn, args.adam_beta1, args.adam_beta2, args.adam_weight_decay,
                         args.adam_epsilon, max_grad_norm=None,  # clip handled in step
                         gradient_accumulation_steps=args.gradient_accumulation_steps,
-                        use_8bit_adam=args.use_8bit_adam, fused=fused)
+                        use_8bit_adam=args.use_8bit_adam, fused="auto")
 
     state = init_token_train_state(
         unet_params, tx, args.train_token, args.train_unet, args.train_cross_attn,
@@ -270,12 +268,14 @@ def main(argv=None):
         init_embedding=resume_embedding,
     )
     if initial_step and resume_train_state_path and os.path.isdir(resume_train_state_path):
-        import orbax.checkpoint as ocp
+        from agenda_tpu.train.checkpoint import restore_opt_payload
 
-        restored = ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(resume_train_state_path),
-            item=jax.eval_shape(lambda: {"opt_state": state.opt_state,
-                                         "step": state.step}),
+        restored = restore_opt_payload(
+            resume_train_state_path,
+            jax.eval_shape(lambda: {"opt_state": state.opt_state,
+                                    "step": state.step}),
+            state.opt_state,
+            {"embedding": state.embedding, "unet": state.unet_trainable},
         )
         state = dc.replace(state, opt_state=restored["opt_state"],
                            step=jnp.asarray(restored["step"], jnp.int32))

@@ -38,9 +38,16 @@ def ema_init(params: Any) -> EMAState:
     )
 
 
+def ema_decay_at(step: jax.Array, max_decay: float = 0.9999) -> jax.Array:
+    """Warmup decay schedule: min(max_decay, (1+t)/(10+t)) with t = step+1
+    (diffusers EMAModel default). Shared by ``ema_update`` and the fused
+    AdamW+EMA kernel path so the schedule cannot drift between them."""
+    t = step.astype(jnp.float32) + 1.0
+    return jnp.minimum(jnp.float32(max_decay), (1.0 + t) / (10.0 + t))
+
+
 def ema_update(state: EMAState, params: Any, max_decay: float = 0.9999) -> EMAState:
-    t = state.step.astype(jnp.float32) + 1.0
-    decay = jnp.minimum(jnp.float32(max_decay), (1.0 + t) / (10.0 + t))
+    decay = ema_decay_at(state.step, max_decay)
     new_shadow = jax.tree.map(
         lambda s, p: s * decay + (1.0 - decay) * p.astype(jnp.float32),
         state.params,

@@ -280,7 +280,11 @@ class StableDiffusionPipeline:
                     state, lat = plms_step(
                         schedule, state, eps, lat, timesteps[mgate], num_inference_steps
                     )
-                    n_rest = num_inference_steps - mgate  # gate + replayed steps
+                    # Gate + replayed UNet evals. Counted from the timestep
+                    # table, NOT num_inference_steps: plms_timesteps has T+1
+                    # entries (duplicated bootstrap step), so T-mgate would
+                    # underweight the gate contribution by one eval.
+                    n_rest = timesteps.shape[0] - mgate
                     if heat is not None:
                         hsum = hsum + heat[0] * n_rest
                         hcnt = hcnt + heat[1] * n_rest
@@ -321,7 +325,7 @@ class StableDiffusionPipeline:
                         schedule, eps, timesteps[mgate],
                         timesteps[mgate] - step_ratio, lat,
                     )
-                    n_rest = num_inference_steps - mgate
+                    n_rest = timesteps.shape[0] - mgate  # gate + replayed evals
                     if heat is not None:
                         hsum = hsum + heat[0] * n_rest
                         hcnt = hcnt + heat[1] * n_rest

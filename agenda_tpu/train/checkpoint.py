@@ -258,6 +258,45 @@ def find_resume_checkpoint(output_dir: str, resume_from: str) -> Optional[Tuple[
     return ckpts[-1] if ckpts else None
 
 
+def restore_opt_payload(state_dir: str, abstract: dict, opt_template, params) -> dict:
+    """orbax-restore a ``{"opt_state": ..., ...}`` payload with a
+    fused<->chained int8-AdamW layout fallback.
+
+    A checkpoint written with the other optimizer layout (pre-fused-kernel
+    run, or AGENDA_TPU_NO_FUSED_ADAMW toggled between save and resume)
+    carries the same ScaleByAdam8bitState payload in a different tree
+    structure; on a structure-mismatch restore failure this retries with the
+    alternate layout and grafts the moments (and schedule counters) into the
+    active structure. Any other restore error re-raises."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    state_dir = os.path.abspath(state_dir)
+    try:
+        return ckptr.restore(state_dir, item=abstract)
+    except Exception:
+        from agenda_tpu.train.optim import (
+            ScaleByAdam8bitState,
+            extract_adam8bit_state,
+            graft_adam8bit_state,
+            make_optimizer,
+        )
+
+        try:
+            extract_adam8bit_state(opt_template)
+        except ValueError:
+            raise  # active optimizer is not int8-Adam: not a layout issue
+        active_is_fused = isinstance(opt_template, ScaleByAdam8bitState)
+        alt_tx = make_optimizer(lambda s: 0.0, use_8bit_adam=True,
+                                fused=not active_is_fused)
+        alt_abstract = dict(abstract)
+        alt_abstract["opt_state"] = jax.eval_shape(alt_tx.init, params)
+        restored = ckptr.restore(state_dir, item=alt_abstract)
+        adam = extract_adam8bit_state(restored["opt_state"])
+        restored["opt_state"] = graft_adam8bit_state(opt_template, adam)
+        return restored
+
+
 def load_checkpoint(path: str, state_template) -> Any:
     """Restore a TrainState from checkpoint-{N}/: params from the diffusers
     file, opt/ema state from orbax. state_template provides tree structure."""
@@ -270,7 +309,6 @@ def load_checkpoint(path: str, state_template) -> Any:
     sd = _read_tensor_file(os.path.join(path, "unet", "diffusion_pytorch_model"))
     params = unet_torch_to_flax(sd)["params"]
 
-    ckptr = ocp.PyTreeCheckpointer()
     abstract = jax.eval_shape(
         lambda: {
             "opt_state": state_template.opt_state,
@@ -278,7 +316,10 @@ def load_checkpoint(path: str, state_template) -> Any:
             "ema_step": None if state_template.ema is None else state_template.ema.step,
         }
     )
-    restored = ckptr.restore(os.path.abspath(os.path.join(path, "train_state")), item=abstract)
+    restored = restore_opt_payload(
+        os.path.join(path, "train_state"), abstract,
+        state_template.opt_state, state_template.params,
+    )
 
     ema = state_template.ema
     if ema is not None:

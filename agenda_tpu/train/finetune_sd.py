@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from agenda_tpu.core.ema import EMAState, ema_init, ema_update
+from agenda_tpu.core.ema import EMAState, ema_decay_at, ema_init, ema_update
 from agenda_tpu.core.schedules import (
     DiffusionSchedule,
     add_noise,
@@ -132,6 +132,15 @@ def make_train_step(
     updates, and the EMA shadow is only advanced on real optimizer updates
     (matching diffusers' EMAModel cadence, ``finetune_sd.py:830-836``).
     """
+    if isinstance(tx, FusedAdamW8bit) and gradient_accumulation_steps != 1:
+        # The fused optimizer applies a full update per call; with
+        # accumulation it would update at micro-batch frequency on
+        # un-averaged gradients. The CLIs enforce this too, but the shared
+        # step builder must not silently accept the invalid combination.
+        raise ValueError(
+            "FusedAdamW8bit does not support gradient accumulation "
+            "(use the chained optimizer: make_optimizer(..., fused=False))"
+        )
 
     scaling = vae.config.scaling_factor
 
@@ -160,9 +169,8 @@ def make_train_step(
         if fuse_ema:
             # Single-HBM-pass fused update + EMA shadow blend in the same
             # kernel (kernels/fused_adamw.py): the new params never re-read
-            # from HBM for the EMA pass. Decay matches core/ema.ema_update.
-            t = state.ema.step.astype(jnp.float32) + 1.0
-            decay = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+            # from HBM for the EMA pass.
+            decay = ema_decay_at(state.ema.step, ema_decay)
             new_params, new_opt, grad_norm, new_shadow = tx.apply(
                 grads, state.opt_state, state.params,
                 ema=state.ema.params, ema_decay=decay,

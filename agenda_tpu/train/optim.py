@@ -301,6 +301,47 @@ def make_fused_adamw_8bit(
     return FusedAdamW8bit(init=base.init, apply=apply)
 
 
+def extract_adam8bit_state(opt_state) -> ScaleByAdam8bitState:
+    """Find the single ScaleByAdam8bitState inside an optimizer state tree
+    (either the fused optimizer's bare state or the optax chain's tuple).
+    Used for fused<->chained checkpoint-resume conversion."""
+    found = []
+
+    def walk(s):
+        if isinstance(s, ScaleByAdam8bitState):
+            found.append(s)
+        elif isinstance(s, (tuple, list)) and not isinstance(s, _Quantized):
+            for x in s:
+                walk(x)
+
+    walk(opt_state)
+    if len(found) != 1:
+        raise ValueError(
+            f"expected exactly one ScaleByAdam8bitState in opt_state, found {len(found)}"
+        )
+    return found[0]
+
+
+def graft_adam8bit_state(template_opt_state, adam: ScaleByAdam8bitState):
+    """Rebuild ``template_opt_state``'s structure with ``adam`` substituted
+    for its ScaleByAdam8bitState and every ScaleByScheduleState count synced
+    to ``adam.count`` (the chain's lr-schedule counter must agree with the
+    moments' step counter after a cross-layout resume)."""
+
+    def walk(s):
+        if isinstance(s, ScaleByAdam8bitState):
+            return adam
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=adam.count)
+        if isinstance(s, tuple) and not isinstance(s, _Quantized):
+            if hasattr(s, "_fields"):  # namedtuple state
+                return type(s)(*[walk(x) for x in s])
+            return tuple(walk(x) for x in s)
+        return s
+
+    return walk(template_opt_state)
+
+
 def adamw_8bit(
     learning_rate_fn,
     b1: float = 0.9,
@@ -334,7 +375,14 @@ def make_optimizer(
     ``fused=True`` (requires ``use_8bit_adam`` and no accumulation) returns
     the single-HBM-pass :class:`FusedAdamW8bit` instead of an optax chain —
     same numerics, one Pallas kernel per leaf (see kernels/fused_adamw.py).
+    ``fused="auto"`` (what the training CLIs pass) selects it whenever
+    eligible, unless AGENDA_TPU_NO_FUSED_ADAMW=1 opts out.
     """
+    if fused == "auto":
+        import os
+
+        fused = (use_8bit_adam and gradient_accumulation_steps == 1
+                 and os.environ.get("AGENDA_TPU_NO_FUSED_ADAMW") != "1")
     if fused:
         if not use_8bit_adam or gradient_accumulation_steps != 1:
             raise ValueError(

@@ -63,8 +63,7 @@ def main():
 
     from agenda_tpu.data.tokenizer import CLIPTokenizer
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from fixtures import write_tiny_tokenizer
+    from agenda_tpu.io.tiny_fixture import write_tiny_tokenizer
     import tempfile
 
     tok_dir = tempfile.mkdtemp(prefix="bench_tok_")

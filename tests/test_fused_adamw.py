@@ -382,3 +382,49 @@ def test_train_step_fused_ema_matches_unfused():
         np.asarray(jax.tree.leaves(a.ema.params)[0]),
         np.asarray(jax.tree.leaves(b.ema.params)[0]), rtol=2e-4, atol=2e-6)
     assert int(a.ema.step) == int(b.ema.step) == 2
+
+
+def test_cross_layout_checkpoint_resume(tmp_path):
+    """A train_state saved under one int8-AdamW layout (fused <-> chained)
+    must resume under the other: restore_opt_payload retries with the
+    alternate layout and grafts the moments + schedule counters."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from agenda_tpu.train.checkpoint import restore_opt_payload
+
+    rng = np.random.RandomState(5)
+    params = {"w": jnp.asarray(rng.randn(128, 40).astype(np.float32)),  # quantized
+              "b": jnp.asarray(rng.randn(7).astype(np.float32))}
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)) * 0.1, params)
+    lr_fn = lr_schedule("constant", 1e-3, 0, 100)
+
+    for save_fused in (True, False):
+        save_tx = (_fused(lr_fn) if save_fused else _chained(lr_fn))
+        if save_fused:
+            p2, save_state, _ = jax.jit(save_tx.apply)(grads, save_tx.init(params), params)
+        else:
+            u, save_state = jax.jit(save_tx.update)(grads, save_tx.init(params), params)
+            p2 = optax.apply_updates(params, u)
+        d = os.path.join(str(tmp_path), f"ck_{save_fused}")
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(d), {"opt_state": save_state, "step": jnp.int32(1)})
+
+        load_tx = (_chained(lr_fn) if save_fused else _fused(lr_fn))
+        template = load_tx.init(params)
+        restored = restore_opt_payload(
+            d, jax.eval_shape(lambda: {"opt_state": template, "step": jnp.int32(0)}),
+            template, params)
+        a_saved = _adam_states(save_state) if not save_fused else save_state
+        a_rest = _adam_states(restored["opt_state"]) \
+            if save_fused else restored["opt_state"]
+        assert int(a_rest.count) == int(a_saved.count) == 1
+        np.testing.assert_array_equal(
+            np.asarray(a_rest.mu["w"].q), np.asarray(a_saved.mu["w"].q))
+        # One more step from the restored state must run.
+        if save_fused:
+            u, _ = jax.jit(load_tx.update)(grads, restored["opt_state"], p2)
+        else:
+            _ = jax.jit(load_tx.apply)(grads, restored["opt_state"], p2)
