@@ -115,3 +115,22 @@ def test_cli_accepts_tgate_flag():
         "--initialize_token", "cars", "--tgate-step", "10",
     ])
     assert a.tgate_step == 10
+
+
+def test_tgate_sharded_matches_unsharded(tiny_pipeline):
+    """TGATE sampling under an 8-device dp mesh must equal the unsharded
+    TGATE path (the post-gate half-batch phase keeps the same dp sharding)."""
+    from agenda_tpu.parallel.mesh import make_mesh
+
+    pipe = tiny_pipeline
+    pipe.scheduler_type = "pndm"
+    kw = dict(seeds=list(range(8)), num_inference_steps=4,
+              collect_heatmaps=True, height=16, width=16, tgate_step=2)
+    ref_imgs, ref_heat = pipe("a photo of cars", **kw)
+    pipe.mesh = make_mesh()
+    try:
+        imgs, heat = pipe("a photo of cars", **kw)
+    finally:
+        pipe.mesh = None
+    np.testing.assert_allclose(imgs, ref_imgs, atol=2e-5)
+    np.testing.assert_allclose(heat, ref_heat, atol=2e-5)
