@@ -58,6 +58,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.resize_bilinear_rgb8.restype = ctypes.c_int
         lib.decode_resize_rgb8.argtypes = [u8, i64, i32, i32, u8, f32]
         lib.decode_resize_rgb8.restype = ctypes.c_int
+        lib.hsv_jitter_f32.argtypes = [f32, i64, ctypes.c_float,
+                                       ctypes.c_float, ctypes.c_float]
+        lib.hsv_jitter_f32.restype = ctypes.c_int
     except AttributeError:
         return None
     return lib
@@ -115,6 +118,22 @@ def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     if rc:
         raise ValueError(f"resize_bilinear_rgb8 failed rc={rc}")
     return out
+
+
+def hsv_jitter_inplace(img: np.ndarray, hue_gain: float, sat_gain: float,
+                       val_gain: float) -> bool:
+    """Fused RGB->HSV->jitter->RGB pass over a contiguous (H, W, 3) float32
+    image in 0..255, in place. Returns False when the native library is
+    unavailable (caller falls back to the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert img.dtype == np.float32 and img.flags["C_CONTIGUOUS"]
+    n = img.shape[0] * img.shape[1] if img.ndim == 3 else len(img) // 3
+    rc = lib.hsv_jitter_f32(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        float(hue_gain), float(sat_gain), float(val_gain))
+    return rc == 0
 
 
 def load_rgb(path: str, out_size: Optional[Tuple[int, int]] = None) -> np.ndarray:

@@ -141,6 +141,15 @@ def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
     gains = rng.uniform(-1, 1, 3) * np.array(
         [hue_delta, saturation_delta, value_delta], np.float32
     )
+    from agenda_tpu.data.native_image import hsv_jitter_inplace
+
+    out = np.ascontiguousarray(img, np.float32)
+    if out is img:  # never mutate the caller's array
+        out = img.copy()
+    if hsv_jitter_inplace(out, gains[0], gains[1], gains[2]):
+        # fused C++ single pass (native/image_ops.cc:hsv_jitter_f32) — same
+        # formulas as below, verified bit-close in tests/test_native_image.py
+        return out
     h, s, v = _rgb_to_hsv_cv(img)
     h = (h + gains[0]) % 180.0
     s = np.clip(s + gains[1], 0, 255)

@@ -69,6 +69,15 @@ class CocoDetDataset:
         # Per-call augmentation entropy: a counter mixed into the seed so the
         # same index gets DIFFERENT augmentations each epoch (train only).
         self._aug_calls = 0
+        # In-RAM cache of decoded+resized tiles (uint8 + scaled boxes).
+        # Mosaic+MixUp read 4-8 source images per training sample, so at the
+        # reference's 112px tiles (10k-image sets ~= 470 MB at img_scale 128)
+        # caching removes the decode+resize from every epoch after the first.
+        # Capped by AGENDA_TPU_IMG_CACHE_MB (0 disables).
+        cache_mb = float(os.environ.get("AGENDA_TPU_IMG_CACHE_MB", "2048"))
+        est_mb = len(self.images) * img_scale[0] * img_scale[1] * 3 / 1e6
+        self._scaled_cache: Optional[Dict[int, tuple]] = (
+            {} if 0 < est_mb <= cache_mb else None)
 
     def __len__(self):
         return len(self.images)
@@ -104,6 +113,18 @@ class CocoDetDataset:
         return img, boxes
 
     def _load_scaled(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._scaled_cache is not None:
+            hit = self._scaled_cache.get(index)
+            if hit is None:
+                img, boxes = self._load_raw(index)
+                img, boxes = self._resize(img, boxes, *self.img_scale)
+                # uint8 round-trips exactly: _resize outputs integral values
+                # (native resize emits uint8; PIL likewise).
+                hit = (img.astype(np.uint8), boxes)
+                self._scaled_cache[index] = hit
+            img_u8, boxes = hit
+            # fresh arrays: downstream aug must never mutate the cache
+            return img_u8.astype(np.float32), boxes.copy()
         img, boxes = self._load_raw(index)
         return self._resize(img, boxes, *self.img_scale)
 

@@ -297,4 +297,66 @@ int decode_resize_rgb8(const uint8_t* bytes, int64_t n, int32_t dh, int32_t dw,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// fused HSV jitter (YOLOXHSVRandomAug)
+// ---------------------------------------------------------------------------
+//
+// The pure-numpy implementation (agenda_tpu/detect/augment.py:hsv_jitter)
+// materializes ~10 full-image float temporaries for the RGB->HSV->RGB round
+// trip (np.where/np.select chains) and measured 5.7 ms per 128x128 tile on
+// this host — the single largest term of the Real_Source aug recipe. This
+// single pass keeps each pixel in registers; formulas mirror the numpy path
+// exactly (OpenCV HSV convention: h in [0,180), s/v in [0,255]).
+
+static inline float pymod(float a, float m) {
+  float r = std::fmod(a, m);
+  return r < 0 ? r + m : r;
+}
+
+// img: (n, 3) float32 RGB in 0..255, modified in place.
+int hsv_jitter_f32(float* img, int64_t n, float hue_gain, float sat_gain,
+                   float val_gain) {
+  if (n < 0) return -10;
+  for (int64_t p = 0; p < n; p++) {
+    float* px = img + p * 3;
+    float r = px[0], g = px[1], b = px[2];
+    float mx = std::max(r, std::max(g, b));
+    float mn = std::min(r, std::min(g, b));
+    float diff = mx - mn;
+    float safe = diff > 0 ? diff : 1.0f;
+    // np.where overwrite order: r branch, then g, then b (last match wins).
+    float h = 0.0f;
+    if (mx == r) h = pymod((g - b) / safe, 6.0f);
+    if (mx == g) h = (b - r) / safe + 2.0f;
+    if (mx == b) h = (r - g) / safe + 4.0f;
+    h = pymod(h * 30.0f, 180.0f);
+    float s = mx > 0 ? diff / std::max(mx, 1e-9f) * 255.0f : 0.0f;
+    float v = mx;
+
+    h = pymod(h + hue_gain, 180.0f);
+    s = std::clamp(s + sat_gain, 0.0f, 255.0f);
+    v = std::clamp(v + val_gain, 0.0f, 255.0f);
+
+    float h6 = pymod(h / 30.0f, 6.0f);
+    float s1 = s / 255.0f;
+    float c = v * s1;
+    float x = c * (1.0f - std::abs(pymod(h6, 2.0f) - 1.0f));
+    float m = v - c;
+    int i = static_cast<int>(h6);
+    float rr, gg, bb;
+    switch (i) {
+      case 0: rr = c; gg = x; bb = 0; break;
+      case 1: rr = x; gg = c; bb = 0; break;
+      case 2: rr = 0; gg = c; bb = x; break;
+      case 3: rr = 0; gg = x; bb = c; break;
+      case 4: rr = x; gg = 0; bb = c; break;
+      default: rr = c; gg = 0; bb = x; break;  // np.select defaults (i == 5)
+    }
+    px[0] = std::clamp(rr + m, 0.0f, 255.0f);
+    px[1] = std::clamp(gg + m, 0.0f, 255.0f);
+    px[2] = std::clamp(bb + m, 0.0f, 255.0f);
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -133,3 +133,89 @@ def test_decode_speed_vs_pil(tmp_path):
     t_pil = time.time() - t0
     print(f"native {t_native*1000/n:.2f} ms vs PIL {t_pil*1000/n:.2f} ms per image")
     assert t_native < t_pil * 2.0  # sanity: same order or faster
+
+
+def test_hsv_jitter_native_matches_numpy():
+    """The fused C++ HSV pass (native/image_ops.cc:hsv_jitter_f32) must match
+    the numpy reference formulas (augment._rgb_to_hsv_cv round trip) to
+    sub-LSB — including grays (diff==0), saturated channels, and hue wrap."""
+    if not ni.available():
+        import pytest
+        pytest.skip("native image library unavailable")
+    from agenda_tpu.detect import augment as A
+
+    rng = np.random.RandomState(3)
+    img = rng.uniform(0, 255, (37, 41, 3)).astype(np.float32)
+    # edge cases: exact grays, pure channels, zeros, 255s
+    img[0, :5] = 128.0
+    img[1, 0] = [255, 0, 0]; img[1, 1] = [0, 255, 0]; img[1, 2] = [0, 0, 255]
+    img[2, 0] = 0.0; img[2, 1] = 255.0
+    img[3, 0] = [200, 200, 10]; img[3, 1] = [10, 200, 200]
+
+    for gains in [(3.0, 20.0, -15.0), (-4.9, -29.0, 29.0), (0.0, 0.0, 0.0),
+                  (179.0, 255.0, -255.0)]:
+        # numpy reference path
+        h, s, v = A._rgb_to_hsv_cv(img)
+        h = (h + gains[0]) % 180.0
+        s = np.clip(s + gains[1], 0, 255)
+        v = np.clip(v + gains[2], 0, 255)
+        ref = np.clip(A._hsv_cv_to_rgb(h, s, v), 0, 255).astype(np.float32)
+        got = np.ascontiguousarray(img.copy())
+        assert ni.hsv_jitter_inplace(got, *gains)
+        np.testing.assert_allclose(got, ref, atol=0.51, rtol=0)
+        assert float(np.abs(got - ref).mean()) < 0.01
+
+
+def test_hsv_jitter_dispatch_does_not_mutate_input():
+    from agenda_tpu.detect import augment as A
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)
+    before = img.copy()
+    out = A.hsv_jitter(img, np.random.default_rng(1))
+    assert out is not img
+    np.testing.assert_array_equal(img, before)
+
+
+def test_scaled_cache_hit_is_identical(tmp_path):
+    """CocoDetDataset's in-RAM tile cache must return bit-identical
+    (image, boxes) on hit vs miss, and never let aug mutate the cache."""
+    import json
+    from agenda_tpu.detect.dataset import CocoDetDataset
+
+    rng = np.random.RandomState(11)
+    (tmp_path / "images").mkdir()
+    Image.fromarray(rng.randint(0, 256, (112, 112, 3), np.uint8)).save(
+        tmp_path / "images" / "0.png")
+    with open(tmp_path / "ann.json", "w") as f:
+        json.dump({"images": [{"id": 0, "file_name": "0.png", "width": 112,
+                               "height": 112}],
+                   "annotations": [{"id": 0, "image_id": 0,
+                                    "bbox": [10, 10, 42, 42],
+                                    "category_id": 1, "area": 1764,
+                                    "iscrowd": 0}],
+                   "categories": [{"id": 1, "name": "small"}]}, f)
+    ds = CocoDetDataset(str(tmp_path), "ann.json", img_scale=(128, 128),
+                        max_gt=4, train=True)
+    assert ds._scaled_cache is not None
+    img1, boxes1 = ds._load_scaled(0)   # miss: fills cache
+    img2, boxes2 = ds._load_scaled(0)   # hit
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(boxes1, boxes2)
+    img2 += 7.0
+    boxes2 += 1.0
+    img3, boxes3 = ds._load_scaled(0)
+    np.testing.assert_array_equal(img1, img3)
+    np.testing.assert_array_equal(boxes1, boxes3)
+    # disabled path (cap 0) matches the cached path bit-for-bit
+    import os
+    os.environ["AGENDA_TPU_IMG_CACHE_MB"] = "0"
+    try:
+        ds_nc = CocoDetDataset(str(tmp_path), "ann.json", img_scale=(128, 128),
+                               max_gt=4, train=True)
+        assert ds_nc._scaled_cache is None
+        img4, boxes4 = ds_nc._load_scaled(0)
+        np.testing.assert_array_equal(img1, img4)
+        np.testing.assert_array_equal(boxes1, boxes4)
+    finally:
+        del os.environ["AGENDA_TPU_IMG_CACHE_MB"]
