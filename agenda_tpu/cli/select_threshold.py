@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--image-size", type=int, default=112)
     p.add_argument("--table-out", type=str, default=None,
                    help="Write the P/R/F1-vs-score table as JSON here.")
+    p.add_argument("--result-out", type=str, default=None,
+                   help="Write the analysis result (ap, f1_max, threshold) as "
+                        "JSON here — the pipeline orchestrator reads the "
+                        "selected threshold from it.")
     p.add_argument("--plot", type=str, default=None,
                    help="Write the analysis figures (PR curve, P/R/F1 vs "
                         "confidence, per-image TP/FP/FN scatter) to this PNG.")
@@ -199,6 +203,9 @@ def main(argv=None):
         if args.table_out:
             with open(args.table_out, "w") as f:
                 json.dump({k: v.tolist() for k, v in table.items()}, f)
+        if args.result_out:
+            with open(args.result_out, "w") as f:
+                json.dump(result, f)
         if args.plot:
             _render_plots(args.plot, table, result, records, args.iou_thresh)
         if args.visualize_samples:
