@@ -44,6 +44,11 @@ def parse_args(argv=None):
                    help="Enable the linear lr scaling rule against the "
                         "config's base_batch_size — mmengine's opt-in "
                         "--auto-scale-lr (Real_Source/vitdet.py:431).")
+    p.add_argument("--device-aug", action="store_true",
+                   help="Render the train augmentations on the accelerator "
+                        "from an HBM-resident dataset tensor (the host only "
+                        "draws random numbers + box math); falls back to the "
+                        "host pipeline for unsupported recipes (LSJ/concat).")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -80,6 +85,8 @@ def main(argv=None):
         cfg.runner.lr = args.lr
     if args.auto_scale_lr:
         cfg.runner.auto_scale_lr = True
+    if args.device_aug:
+        cfg.runner.device_aug = True
     cfg.runner.seed = args.seed
     cfg.runner.output_dir = args.work_dir if args.work_dir else cfg.runner.output_dir
 

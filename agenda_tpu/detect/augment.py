@@ -270,7 +270,31 @@ def random_affine(
     """
     out_w, out_h = out_size
     in_h, in_w = img.shape[:2]
+    m = affine_matrix(rng, (in_w, in_h), out_size,
+                      max_rotate_degree=max_rotate_degree,
+                      max_shear_degree=max_shear_degree,
+                      scaling_ratio_range=scaling_ratio_range,
+                      max_translate_ratio=max_translate_ratio)
 
+    inv = np.linalg.inv(m)
+    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    warped = pil.transform(
+        (out_w, out_h), Image.AFFINE,
+        data=tuple(inv[:2].ravel()),
+        resample=Image.BILINEAR,
+        fillcolor=(int(border_val),) * 3,
+    )
+    out = np.asarray(warped, np.float32)
+    return out, affine_boxes(boxes, m, out_size, min_bbox_size, max_aspect_ratio)
+
+
+def affine_matrix(rng, in_size, out_size, max_rotate_degree=0.0,
+                  max_shear_degree=0.0, scaling_ratio_range=(0.1, 1.9),
+                  max_translate_ratio=0.1) -> np.ndarray:
+    """Draw the mm RandomAffine input->output matrix (random draws in the
+    reference's order: rotate, scale, shear x/y, translate x/y)."""
+    in_w, in_h = in_size
+    out_w, out_h = out_size
     theta = math.radians(rng.uniform(-max_rotate_degree, max_rotate_degree))
     scale = rng.uniform(*scaling_ratio_range)
     shear_x = math.tan(math.radians(rng.uniform(-max_shear_degree, max_shear_degree)))
@@ -286,20 +310,17 @@ def random_affine(
     sc = mat(scale, 0, 0, 0, scale, 0)
     sh = mat(1, shear_x, 0, shear_y, 1, 0)
     center_out = mat(1, 0, out_w / 2.0 + tx, 0, 1, out_h / 2.0 + ty)
-    m = center_out @ sh @ rot @ sc @ center_in  # input -> output
+    return center_out @ sh @ rot @ sc @ center_in  # input -> output
 
-    inv = np.linalg.inv(m)
-    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
-    warped = pil.transform(
-        (out_w, out_h), Image.AFFINE,
-        data=tuple(inv[:2].ravel()),
-        resample=Image.BILINEAR,
-        fillcolor=(int(border_val),) * 3,
-    )
-    out = np.asarray(warped, np.float32)
 
+def affine_boxes(boxes: np.ndarray, m: np.ndarray, out_size,
+                 min_bbox_size: float = 2.0,
+                 max_aspect_ratio: float = 20.0) -> np.ndarray:
+    """Project boxes by their 4 corners through ``m``, clip to the output,
+    filter by min size and aspect ratio (the mm RandomAffine box path)."""
+    out_w, out_h = out_size
     if len(boxes) == 0:
-        return out, boxes
+        return boxes
     corners = np.stack([
         boxes[:, [0, 1]], boxes[:, [2, 1]], boxes[:, [0, 3]], boxes[:, [2, 3]]
     ], axis=1)  # (N, 4, 2)
@@ -313,7 +334,7 @@ def random_affine(
     h = new[:, 3] - new[:, 1]
     ar = np.maximum(w / np.maximum(h, 1e-6), h / np.maximum(w, 1e-6))
     keep = (w > min_bbox_size) & (h > min_bbox_size) & (ar <= max_aspect_ratio)
-    return out, new[keep]
+    return new[keep]
 
 
 def mosaic(
@@ -333,15 +354,8 @@ def mosaic(
     cx = int(rng.uniform(0.5 * out_w, 1.5 * out_w))
     cy = int(rng.uniform(0.5 * out_h, 1.5 * out_h))
     idxs = [index] + [int(rng.integers(n_total)) for _ in range(3)]
+    regions, anchors = mosaic_regions(cx, cy, out_w, out_h)
     all_boxes = []
-    # quadrant extents on the canvas, anchored at the random center
-    regions = [
-        (max(cx - out_w, 0), max(cy - out_h, 0), cx, cy),               # top-left
-        (cx, max(cy - out_h, 0), min(cx + out_w, out_w * 2), cy),       # top-right
-        (max(cx - out_w, 0), cy, cx, min(cy + out_h, out_h * 2)),       # bottom-left
-        (cx, cy, min(cx + out_w, out_w * 2), min(cy + out_h, out_h * 2)),
-    ]
-    anchors = [(1, 1), (0, 1), (1, 0), (0, 0)]  # which image corner touches center
     for k, ((x1, y1, x2, y2), (ax, ay)) in enumerate(zip(regions, anchors)):
         img, boxes = load_fn(idxs[k])
         rw, rh = x2 - x1, y2 - y1
@@ -351,15 +365,38 @@ def mosaic(
         sx = out_w - rw if ax else 0
         sy = out_h - rh if ay else 0
         canvas[y1:y2, x1:x2] = img[sy : sy + rh, sx : sx + rw]
-        if len(boxes):
-            b = boxes + np.array([x1 - sx, y1 - sy, x1 - sx, y1 - sy], np.float32)
-            b[:, 0::2] = b[:, 0::2].clip(x1, x2)
-            b[:, 1::2] = b[:, 1::2].clip(y1, y2)
-            ok = (b[:, 2] - b[:, 0] > 1) & (b[:, 3] - b[:, 1] > 1)
-            if ok.any():
-                all_boxes.append(b[ok])
+        b = mosaic_region_boxes(boxes, (x1, y1, x2, y2), (sx, sy))
+        if len(b):
+            all_boxes.append(b)
     boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
     return canvas, boxes
+
+
+def mosaic_regions(cx, cy, out_w, out_h):
+    """Canvas extents + image-corner anchors for the 4 mosaic quadrants,
+    anchored at the random center (TL, TR, BL, BR)."""
+    regions = [
+        (max(cx - out_w, 0), max(cy - out_h, 0), cx, cy),
+        (cx, max(cy - out_h, 0), min(cx + out_w, out_w * 2), cy),
+        (max(cx - out_w, 0), cy, cx, min(cy + out_h, out_h * 2)),
+        (cx, cy, min(cx + out_w, out_w * 2), min(cy + out_h, out_h * 2)),
+    ]
+    anchors = [(1, 1), (0, 1), (1, 0), (0, 0)]
+    return regions, anchors
+
+
+def mosaic_region_boxes(boxes: np.ndarray, region, src_offset) -> np.ndarray:
+    """Shift one tile's boxes onto the canvas, clip to the region, drop
+    slivers (<=1px) — the per-quadrant box path of ``mosaic``."""
+    if not len(boxes):
+        return np.zeros((0, 4), np.float32)
+    x1, y1, x2, y2 = region
+    sx, sy = src_offset
+    b = boxes + np.array([x1 - sx, y1 - sy, x1 - sx, y1 - sy], np.float32)
+    b[:, 0::2] = b[:, 0::2].clip(x1, x2)
+    b[:, 1::2] = b[:, 1::2].clip(y1, y2)
+    ok = (b[:, 2] - b[:, 0] > 1) & (b[:, 3] - b[:, 1] > 1)
+    return b[ok]
 
 
 def mixup(
@@ -384,23 +421,32 @@ def mixup(
             (nw, nh), Image.BILINEAR),
         np.float32,
     )
-    b2 = boxes2 * scale if len(boxes2) else boxes2
-    if rng.random() < flip_ratio:
+    flipped = rng.random() < flip_ratio
+    if flipped:
         resized = resized[:, ::-1]
-        if len(b2):
-            b2 = np.stack([nw - b2[:, 2], b2[:, 1], nw - b2[:, 0], b2[:, 3]], axis=1)
     canvas = np.full((h, w, 3), pad_val, np.float32)
     ch, cw = min(nh, h), min(nw, w)
     canvas[:ch, :cw] = resized[:ch, :cw]
-    if len(b2):
-        b2 = b2.copy()
-        b2[:, 0::2] = b2[:, 0::2].clip(0, cw)
-        b2[:, 1::2] = b2[:, 1::2].clip(0, ch)
-        ok = (b2[:, 2] - b2[:, 0] > 1) & (b2[:, 3] - b2[:, 1] > 1)
-        b2 = b2[ok]
+    b2 = mixup_boxes(boxes2, scale, nw, flipped, cw, ch)
     mixed = (img * 0.5 + canvas * 0.5).astype(np.float32)
     out_boxes = np.concatenate([boxes, b2]) if len(b2) else boxes
     return mixed, out_boxes
+
+
+def mixup_boxes(boxes2: np.ndarray, scale: float, nw: int, flipped: bool,
+                cw: int, ch: int) -> np.ndarray:
+    """The retrieved sample's box path through MixUp: jitter-scale, optional
+    flip within the resized width, clip to the pasted region, drop slivers."""
+    if not len(boxes2):
+        return np.zeros((0, 4), np.float32)
+    b2 = boxes2 * scale
+    if flipped:
+        b2 = np.stack([nw - b2[:, 2], b2[:, 1], nw - b2[:, 0], b2[:, 3]], axis=1)
+    b2 = b2.copy()
+    b2[:, 0::2] = b2[:, 0::2].clip(0, cw)
+    b2[:, 1::2] = b2[:, 1::2].clip(0, ch)
+    ok = (b2[:, 2] - b2[:, 0] > 1) & (b2[:, 3] - b2[:, 1] > 1)
+    return b2[ok]
 
 
 def lsj(

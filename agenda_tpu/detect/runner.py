@@ -74,6 +74,12 @@ class RunnerConfig:
     # stage-2 recipe and val cadence becomes val_interval_stage2.
     close_mosaic_epochs: int = 0
     val_interval_stage2: Optional[int] = None
+    # -- device-side augmentation (detect/device_aug.py): dataset tensor in
+    # HBM, host builds plans (random draws + exact box math), the chip
+    # renders mosaic/affine/mixup/hsv/flip inside the train step. Falls back
+    # to the host pipeline when the recipe/dataset isn't supported (LSJ,
+    # concat datasets, cache disabled).
+    device_aug: bool = False
 
 
 def save_variables(path: str, variables: Dict[str, Any]) -> None:
@@ -245,6 +251,17 @@ class DetectorRunner:
         cfg = self.cfg
         mesh = make_mesh()
         global_bs = cfg.batch_size * mesh.shape["dp"]
+        planner = data_dev = None
+        if cfg.device_aug:
+            planner, why = self._make_planner(train_dataset)
+            if planner is None:
+                logger.warning("device_aug requested but unsupported (%s); "
+                               "using the host aug pipeline", why)
+            else:
+                data_dev = jnp.asarray(planner.dataset_tensor())
+                logger.info("device aug on: %d tiles (%.0f MB) resident in "
+                            "device memory", data_dev.shape[0],
+                            data_dev.nbytes / 1e6)
         loader = DataLoader(train_dataset, global_bs, shuffle=True, seed=cfg.seed,
                             num_workers=2, pad_to_full=True)
         steps_per_epoch = len(loader)
@@ -316,10 +333,20 @@ class DetectorRunner:
         loss_fn = self.family.loss_fn
 
         ema_decay = cfg.ema_decay
+        if planner is not None:
+            from agenda_tpu.detect.device_aug import render_batch as _render
+            tile_hw = (planner.th, planner.tw)
+            data_rep = replicate(data_dev, mesh)
 
         @jax.jit
         def train_step(params, ema_params, batch_stats, opt_state, batch, rng, step):
             rng = jax.random.fold_in(rng, step)
+            if "inv" in batch:
+                # device-side augmentation: render the batch from the
+                # HBM-resident dataset tensor inside the compiled step
+                image = _render(batch["data"], batch["scratch"], batch, tile_hw)
+                batch = {"image": image, "gt_boxes": batch["gt_boxes"],
+                         "gt_valid": batch["gt_valid"]}
 
             def lf(p):
                 loss, (metrics, new_bs) = loss_fn(
@@ -351,15 +378,33 @@ class DetectorRunner:
 
         switch_epoch = cfg.max_epochs - cfg.close_mosaic_epochs \
             if cfg.close_mosaic_epochs > 0 else None
+
+        def epoch_batches(epoch):
+            """Sharded device batches: host-augmented images, or plan arrays
+            for the in-step device render."""
+            if planner is None:
+                for batch in loader:
+                    yield shard_batch(
+                        {"image": batch["image"], "gt_boxes": batch["gt_boxes"],
+                         "gt_valid": batch["gt_valid"]}, mesh)
+                return
+            aug_rng = np.random.default_rng(
+                (cfg.seed + 1) * 1_000_003 + epoch)
+            batches = loader._batches_indices()
+            loader.epoch += 1
+            slots = max(1, global_bs // 8)
+            for idx_b in batches:
+                packed, scratch, _ = planner.plan_batch(
+                    idx_b, aug_rng, train_dataset.max_gt, scratch_slots=slots)
+                db = shard_batch(packed, mesh)
+                db["scratch"] = replicate(scratch, mesh)
+                db["data"] = data_rep
+                yield db
+
         for epoch in range(start_epoch, cfg.max_epochs):
             if switch_epoch is not None and epoch >= switch_epoch:
                 self._apply_stage2_aug(train_dataset)
-            for batch in loader:
-                db = shard_batch(
-                    {"image": batch["image"], "gt_boxes": batch["gt_boxes"],
-                     "gt_valid": batch["gt_valid"]},
-                    mesh,
-                )
+            for db in epoch_batches(epoch):
                 params, ema_params, batch_stats, opt_state, metrics = train_step(
                     params, ema_params, batch_stats, opt_state, db, rng, jnp.int32(gstep)
                 )
@@ -401,6 +446,23 @@ class DetectorRunner:
         metrics_log.close()
         return {"params": ema_params if cfg.ema_decay > 0 else params,
                 "batch_stats": batch_stats}
+
+    @staticmethod
+    def _make_planner(dataset):
+        """-> (AugPlanner | None, reason). Device aug needs a single cached
+        CocoDetDataset with a non-LSJ recipe."""
+        from agenda_tpu.detect.device_aug import AugPlanner
+
+        if getattr(dataset, "datasets", None) is not None:
+            return None, "concat dataset"
+        aug = getattr(dataset, "aug", None)
+        if aug is None:
+            return None, "dataset has no aug recipe"
+        if aug.lsj:
+            return None, "LSJ recipe"
+        if getattr(dataset, "_scaled_cache", None) is None:
+            return None, "tile cache disabled (AGENDA_TPU_IMG_CACHE_MB)"
+        return AugPlanner(dataset), ""
 
     def _apply_stage2_aug(self, dataset) -> None:
         """Switch a (possibly concatenated) train dataset to the stage-2

@@ -1,0 +1,222 @@
+"""Device-side augmentation tests.
+
+The planner replicates the host pipeline's random-draw ORDER, so a
+same-seeded generator must produce the SAME augmentation decisions as
+``CocoDetDataset.__getitem__`` — boxes bit-exactly (same helper code paths),
+pixels within resampling tolerance (PIL quantizes to uint8; MixUp's
+jitter-resize uses PIL's triangle filter where the device folds the scale
+into one bilinear gather)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from agenda_tpu.detect import device_aug as D
+from agenda_tpu.detect.configs import DatasetSpec, preset
+from agenda_tpu.detect.dataset import CocoDetDataset
+
+
+def _make_ds(root, n=48, size=112, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    images, anns = [], []
+    aid = 1
+    for i in range(n):
+        Image.fromarray(rng.randint(0, 255, (size, size, 3), np.uint8)).save(
+            os.path.join(root, "images", f"{i}.png"))
+        images.append({"id": i, "file_name": f"{i}.png", "width": size,
+                       "height": size})
+        for _ in range(rng.randint(1, 4)):
+            cx, cy = rng.uniform(10, size - 10, 2)
+            anns.append({"id": aid, "image_id": i, "category_id": 1,
+                         "bbox": [cx - 21.18, cy - 21.18, 42.36, 42.36],
+                         "area": 42.36 ** 2, "iscrowd": 0})
+            aid += 1
+    with open(os.path.join(root, "ann.json"), "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "small"}]}, f)
+
+
+@pytest.fixture(scope="module")
+def aug_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("devaug"))
+    _make_ds(root)
+    return root
+
+
+def _mix_dataset(root):
+    cfg = preset("real_source", "yolov8", train=[DatasetSpec(root, "ann.json")],
+                 output_dir=os.path.join(root, "wd"))
+    return cfg.build_train_dataset()
+
+
+def _render_plans(planner, packed, scratch):
+    data = jnp.asarray(planner.dataset_tensor())
+    out = D.render_batch(data, jnp.asarray(scratch),
+                         {k: jnp.asarray(v) for k, v in packed.items()},
+                         (planner.th, planner.tw))
+    return np.asarray(out) * 255.0
+
+
+def test_plan_matches_host_draw_stream(aug_root):
+    """Same seed => same decisions: boxes EXACTLY equal to the host item's,
+    device pixels close to the host item's."""
+    ds = _mix_dataset(aug_root)
+    ds_plan = _mix_dataset(aug_root)
+    planner = D.AugPlanner(ds_plan)
+    idxs = list(range(12))
+
+    host_imgs, host_boxes, host_valid = [], [], []
+    for i in idxs:  # first calls: _aug_calls becomes 1..12 in order
+        item = ds[i]
+        host_imgs.append(item["image"] * 255.0)
+        host_boxes.append(item["gt_boxes"])
+        host_valid.append(item["gt_valid"])
+
+    plans = []
+    for call, i in enumerate(idxs, start=1):
+        rng = np.random.default_rng((call * 2654435761 + i) % (2 ** 31))
+        plans.append(planner.plan_item(i, rng))
+
+    for k, p in enumerate(plans):
+        nb = int(host_valid[k].sum())
+        assert len(p.boxes) == nb or (len(p.boxes) > 64 and nb == 64)
+        np.testing.assert_array_equal(p.boxes[:nb].astype(np.float32),
+                                      host_boxes[k][:nb])
+
+    packed, scratch, _ = _pack(planner, plans)
+    out = _render_plans(planner, packed, scratch)
+    diff = np.abs(out - np.stack(host_imgs))
+    assert diff.mean() < 1.5, diff.mean()
+    assert (diff > 8).mean() < 0.03, (diff > 8).mean()
+
+
+def _pack(planner, plans):
+    """plan_batch's packing for externally built plans."""
+    b = len(plans)
+    max_gt = planner.ds.max_gt
+    packed = {
+        "idx": np.zeros((b, 2, 4), np.int32),
+        "center": np.zeros((b, 2, 2), np.float32),
+        "inv": np.zeros((b, 2, 3, 3), np.float32),
+        "use_mosaic": np.zeros((b, 2), bool),
+        "clip": np.zeros((b, 2, 2), np.float32),
+        "mix": np.zeros((b,), np.float32),
+        "flip": np.zeros((b,), bool),
+        "hsv_on": np.zeros((b,), bool),
+        "hsv_gains": np.zeros((b, 3), np.float32),
+        "gray": np.zeros((b,), bool),
+        "blur_k": np.zeros((b,), np.int32),
+        "pass_slot": np.full((b,), -1, np.int32),
+        "gt_boxes": np.zeros((b, max_gt, 4), np.float32),
+        "gt_valid": np.zeros((b, max_gt), bool),
+    }
+    scratch = np.zeros((2, planner.th, planner.tw, 3), np.float32)
+    slot = 0
+    for i, p in enumerate(plans):
+        for br_i, br in enumerate(p.branches):
+            packed["idx"][i, br_i] = br.idxs
+            packed["center"][i, br_i] = br.center
+            packed["inv"][i, br_i] = br.inv
+            packed["use_mosaic"][i, br_i] = br.use_mosaic
+            packed["clip"][i, br_i] = br.clip_wh
+        packed["mix"][i] = 0.5 if p.mix else 0.0
+        packed["flip"][i] = p.flip
+        packed["hsv_on"][i] = p.hsv_gains is not None
+        if p.hsv_gains is not None:
+            packed["hsv_gains"][i] = p.hsv_gains
+        packed["gray"][i] = p.gray
+        packed["blur_k"][i] = p.blur_k
+        if p.passthrough and slot < 2:
+            scratch[slot] = planner.render_host(p)
+            packed["pass_slot"][i] = slot
+            slot += 1
+    return packed, scratch, plans
+
+
+def test_device_render_matches_host_oracle(aug_root):
+    """Device gather vs the PIL oracle over many random plans: sub-LSB mean,
+    seam pixels only above 2."""
+    ds = _mix_dataset(aug_root)
+    planner = D.AugPlanner(ds)
+    rng = np.random.default_rng(7)
+    packed, scratch, plans = planner.plan_batch(
+        list(rng.integers(0, len(ds), 24)), rng, max_gt=64, scratch_slots=3)
+    out = _render_plans(planner, packed, scratch)
+    host = np.stack([planner.render_host(p) for p in plans])
+    diff = np.abs(out - host)
+    assert diff.mean() < 0.8, diff.mean()
+    assert (diff > 2).mean() < 0.01, (diff > 2).mean()
+    # passthrough samples are bit-exact (they ARE the host render)
+    for i, p in enumerate(plans):
+        if packed["pass_slot"][i] >= 0:
+            np.testing.assert_allclose(out[i], host[i], atol=0.01)
+
+
+def test_plan_batch_deterministic(aug_root):
+    ds = _mix_dataset(aug_root)
+    planner = D.AugPlanner(ds)
+    a1, s1, _ = planner.plan_batch([0, 3, 5], np.random.default_rng(3), 64, 2)
+    a2, s2, _ = planner.plan_batch([0, 3, 5], np.random.default_rng(3), 64, 2)
+    for k in a1:
+        np.testing.assert_array_equal(a1[k], a2[k])
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_lsj_recipe_rejected(aug_root):
+    from agenda_tpu.detect.augment import lsj_aug
+
+    ds = CocoDetDataset(aug_root, "ann.json", aug=lsj_aug())
+    planner = D.AugPlanner(ds)
+    with pytest.raises(ValueError, match="LSJ"):
+        planner.plan_item(0, np.random.default_rng(0))
+
+
+def test_runner_device_aug_trains(aug_root, tmp_path):
+    """End-to-end: DetectorRunner with device_aug=True runs real train steps
+    through the in-step render and produces finite losses."""
+    from agenda_tpu.detect.runner import DetectorRunner
+
+    cfg = preset("real_source", "yolov8",
+                 train=[DatasetSpec(aug_root, "ann.json")],
+                 output_dir=str(tmp_path / "wd"))
+    cfg.runner.batch_size = 2
+    cfg.runner.max_epochs = 1
+    cfg.runner.val_interval = 100
+    cfg.runner.close_mosaic_epochs = 0
+    cfg.runner.log_interval = 1
+    cfg.runner.device_aug = True
+    family = cfg.build_family()
+    runner = DetectorRunner(family, cfg.runner)
+    ds = cfg.build_train_dataset()
+    runner.train(ds)
+    losses = []
+    with open(os.path.join(cfg.runner.output_dir, "metrics.jsonl")) as f:
+        for line in f:
+            m = json.loads(line)
+            if "loss" in m:
+                losses.append(m["loss"])
+    assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_make_planner_fallback_reasons(aug_root):
+    from agenda_tpu.detect.dataset import ConcatDataset
+    from agenda_tpu.detect.runner import DetectorRunner
+
+    ds = _mix_dataset(aug_root)
+    planner, why = DetectorRunner._make_planner(ds)
+    assert planner is not None
+    _, why = DetectorRunner._make_planner(ConcatDataset([ds, ds]))
+    assert "concat" in why
+    os.environ["AGENDA_TPU_IMG_CACHE_MB"] = "0"
+    try:
+        ds_nc = _mix_dataset(aug_root)
+        p, why = DetectorRunner._make_planner(ds_nc)
+        assert p is None and "cache" in why
+    finally:
+        del os.environ["AGENDA_TPU_IMG_CACHE_MB"]
