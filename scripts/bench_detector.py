@@ -72,6 +72,8 @@ def main(argv=None):
     p.add_argument("--plain-aug", action="store_true",
                    help="flip+resize only: isolates device step time from the "
                         "host-side mosaic/mixup cost on small-host machines")
+    p.add_argument("--device-aug", action="store_true",
+                   help="render the aug on the accelerator (detect/device_aug)")
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--skip-label", action="store_true")
     args = p.parse_args(argv)
@@ -101,6 +103,8 @@ def main(argv=None):
     make_noise_dataset(data_root, n_images)
     if args.plain_aug:
         cfg.aug = plain_aug()
+    if args.device_aug:
+        cfg.runner.device_aug = True
 
     # enough epochs for ~args.steps optimizer steps, no val/mosaic-close
     steps_per_epoch = (n_images + bs - 1) // bs
@@ -130,7 +134,8 @@ def main(argv=None):
         steady = max(sps) if sps else (cfg.runner.max_epochs * steps_per_epoch) / wall
         print(json.dumps({
             "metric": f"{args.family}/{args.stage} train"
-                      + (" [plain-aug]" if args.plain_aug else ""),
+                      + (" [plain-aug]" if args.plain_aug else "")
+                      + (" [device-aug]" if args.device_aug else ""),
             "value": round(steady * bs, 2), "unit": "img/s",
             "steps_per_sec": round(steady, 3), "global_batch": bs,
             "devices": ndev, "wall_s": round(wall, 1),
