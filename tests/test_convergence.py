@@ -31,7 +31,8 @@ import pytest
 from convergence_data import make_hard_dataset
 
 
-def _train_and_eval(tmp_path, name, model_kw, lr, epochs, optimizer="sgd"):
+def _train_and_eval(tmp_path, name, model_kw, lr, epochs, optimizer="sgd",
+                    device_aug=False, aug=None):
     from agenda_tpu.detect.dataset import CocoDetDataset
     from agenda_tpu.detect.families import build_family
     from agenda_tpu.detect.runner import DetectorRunner, RunnerConfig
@@ -41,13 +42,14 @@ def _train_and_eval(tmp_path, name, model_kw, lr, epochs, optimizer="sgd"):
     os.makedirs(tr), os.makedirs(va)
     make_hard_dataset(tr, 64, seed=0)
     make_hard_dataset(va, 16, seed=99)
-    train_ds = CocoDetDataset(tr, "ann.json", img_scale=(64, 64), max_gt=8, train=True)
+    train_ds = CocoDetDataset(tr, "ann.json", img_scale=(64, 64), max_gt=8,
+                              train=True, aug=aug)
     val_ds = CocoDetDataset(va, "ann.json", img_scale=(64, 64), max_gt=8, train=False)
     fam = build_family(name, model=model_kw)
     cfg = RunnerConfig(output_dir=os.path.join(str(tmp_path), "work"),
                        max_epochs=epochs, batch_size=2, lr=lr, val_interval=1000,
                        warmup_iters=20, log_interval=100, lr_milestones=(0.7,),
-                       optimizer=optimizer)
+                       optimizer=optimizer, device_aug=device_aug)
     runner = DetectorRunner(fam, cfg)
     variables = runner.train(train_ds, val_ds)
     return runner.evaluate(variables, val_ds)
@@ -76,6 +78,18 @@ _full = pytest.mark.skipif(
     reason="set AGENDA_FULL_CONVERGENCE=1 (10-45 min/family on 1 CPU core); "
            "calibrated 2026-08-16: faster-rcnn 0.73-0.77, vitdet 0.71 mAP50",
 )
+
+
+@_full
+@pytest.mark.slow
+def test_yolov8_convergence_gate_device_aug(tmp_path):
+    """The device-rendered data path must reach the same gate as the host
+    path (identical recipe; pixels rendered on the accelerator from the
+    HBM-resident dataset tensor). Calibrated 2026-08-18: 0.91 host / 0.90
+    device at 30 epochs — same training outcome."""
+    res = _train_and_eval(tmp_path, "yolov8", dict(img_size=64, max_gt=8),
+                          lr=0.01, epochs=30, device_aug=True)
+    assert res["bbox_mAP_50"] >= 0.60, res
 
 
 @_full
