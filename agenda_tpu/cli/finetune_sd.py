@@ -161,9 +161,22 @@ def main(argv=None):
     tokenizer = CLIPTokenizer.from_pretrained(bundle.tokenizer_dir)
 
     # Data
-    dataset = BaseDataset(args.dataset_folder, args.json_file_name, args.resolution, tokenizer)
+    dataset = BaseDataset(args.dataset_folder, args.json_file_name, args.resolution,
+                          tokenizer, device_resize=True)
     if args.max_train_samples:
         dataset.data = dataset.data[: args.max_train_samples]
+    resize_w = None
+    if dataset.source_size is not None:
+        # uniform source tiles: ship uint8, LANCZOS-resize on device
+        # (data/device_resize.py — 8.5 ms/img host resize and a 3 MB f32
+        # upload become a 37 KB u8 upload + two MXU matmuls in the step)
+        from agenda_tpu.data.device_resize import resize_weights
+
+        sw, sh = dataset.source_size
+        resize_w = (resize_weights(sh, args.resolution, "lanczos"),
+                    resize_weights(sw, args.resolution, "lanczos"))
+        logger.info("device resize: %dx%d uint8 tiles -> %d² on chip",
+                    sw, sh, args.resolution)
 
     mesh = make_mesh(dp=-1, fsdp=args.fsdp)
     n_dev = mesh.size
@@ -232,7 +245,8 @@ def main(argv=None):
     donate = () if os.environ.get("AGENDA_TPU_NO_DONATE") == "1" else (0,)
     step_fn = jax.jit(
         make_train_step(unet, vae, text_encoder, schedule, tx, loss_cfg, args.use_ema,
-                        gradient_accumulation_steps=args.gradient_accumulation_steps),
+                        gradient_accumulation_steps=args.gradient_accumulation_steps,
+                        resize_weights=resize_w),
         donate_argnums=donate,
     )
 
@@ -282,9 +296,12 @@ def main(argv=None):
             if done:
                 break
             for batch in loader:
+                if "pixel_u8" in batch:
+                    payload = {"pixel_u8": batch["pixel_u8"]}
+                else:
+                    payload = {"pixel_values": batch["pixel_values"].astype(np.float32)}
                 batch = shard_batch(
-                    {"pixel_values": batch["pixel_values"].astype(np.float32),
-                     "input_ids": batch["input_ids"]},
+                    {**payload, "input_ids": batch["input_ids"]},
                     mesh,
                 )
                 state, metrics = step_fn(state, vae_params, text_params, batch, rng)

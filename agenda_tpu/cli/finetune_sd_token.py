@@ -237,7 +237,19 @@ def main(argv=None):
     dataset = TokenDataset(
         args.dataset_folder, args.json_file_name, args.resolution, tokenizer,
         word_tokens=args.initialize_token, new_tokens=object_tokens,
+        device_resize=True,
     )
+    resize_w = None
+    if dataset.source_size is not None:
+        # uniform source tiles: ship uint8, BILINEAR-resize on device
+        # (the token finetuner resizes with bilinear, finetune_sd_token.py:816)
+        from agenda_tpu.data.device_resize import resize_weights
+
+        sw, sh = dataset.source_size
+        resize_w = (resize_weights(sh, args.resolution, "bilinear"),
+                    resize_weights(sw, args.resolution, "bilinear"))
+        logger.info("device resize: %dx%d uint8 tiles -> %d² on chip",
+                    sw, sh, args.resolution)
 
     mesh = make_mesh(dp=-1, fsdp=args.fsdp)
     global_bs = args.train_batch_size * mesh.shape["dp"]
@@ -300,7 +312,8 @@ def main(argv=None):
     )
     # Donate the train state (same rationale/escape hatch as finetune_sd).
     donate = () if os.environ.get("AGENDA_TPU_NO_DONATE") == "1" else (0,)
-    step_fn = jax.jit(make_token_train_step(unet, vae, text_encoder, schedule, tx, loss_cfg),
+    step_fn = jax.jit(make_token_train_step(unet, vae, text_encoder, schedule, tx,
+                                            loss_cfg, resize_weights=resize_w),
                       donate_argnums=donate)
 
     tracker = Tracker(os.path.join(args.output_dir, args.logging_dir), args.report_to,
@@ -400,9 +413,12 @@ def main(argv=None):
             if done:
                 break
             for batch in loader:
+                if "pixel_u8" in batch:
+                    payload = {"pixel_u8": batch["pixel_u8"]}
+                else:
+                    payload = {"pixel_values": batch["pixel_values"].astype(np.float32)}
                 batch = shard_batch(
-                    {"pixel_values": batch["pixel_values"].astype(np.float32),
-                     "input_ids": batch["input_ids"],
+                    {**payload, "input_ids": batch["input_ids"],
                      "new_tokens_start": batch["new_tokens_start"]},
                     mesh,
                 )

@@ -39,20 +39,53 @@ def load_image(path: str, resolution: int, method=Image.LANCZOS) -> np.ndarray:
     return arr * 2.0 - 1.0
 
 
+def probe_uniform_size(paths: Sequence[str]) -> Optional[Tuple[int, int]]:
+    """(w, h) when every image shares one size, else None. PIL lazy opens
+    read only the header (~0.1 ms/file), so probing a 10k-tile set is
+    cheap and happens once at dataset construction."""
+    size = None
+    for p in paths:
+        with Image.open(p) as im:
+            s = im.size
+        if size is None:
+            size = s
+        elif s != size:
+            return None
+    return size
+
+
+def load_image_u8(path: str) -> np.ndarray:
+    """RGB image -> uint8 (H, W, 3) at native size (no host resize: the
+    device-resize path upscales on chip — data/device_resize.py)."""
+    from agenda_tpu.data.native_image import load_rgb
+
+    return load_rgb(path)
+
+
 class BaseDataset:
-    def __init__(self, dataset_folder: str, json_file_name: str, resolution: int, tokenizer):
+    def __init__(self, dataset_folder: str, json_file_name: str, resolution: int,
+                 tokenizer, device_resize: bool = False):
         self.dataset_folder = dataset_folder
         self.data = load_prompt_json(dataset_folder, json_file_name)
         self.resolution = resolution
         self.tokenizer = tokenizer
+        self.source_size = None
+        if device_resize and not os.environ.get("AGENDA_TPU_NO_DEVICE_RESIZE"):
+            # uniform source size => ship uint8 tiles, resize on device
+            # (data/device_resize.py); mixed sizes keep the host path
+            self.source_size = probe_uniform_size(
+                [os.path.join(dataset_folder, p) for p, _ in self.data])
 
     def __len__(self) -> int:
         return len(self.data)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         img_path, prompt = self.data[index]
-        pixels = load_image(os.path.join(self.dataset_folder, img_path), self.resolution)
         ids = self.tokenizer(prompt)
+        if self.source_size is not None:
+            u8 = load_image_u8(os.path.join(self.dataset_folder, img_path))
+            return {"pixel_u8": u8, "input_ids": ids}
+        pixels = load_image(os.path.join(self.dataset_folder, img_path), self.resolution)
         return {"pixel_values": pixels, "input_ids": ids}
 
 
@@ -66,6 +99,7 @@ class TokenDataset:
         word_tokens: Optional[Sequence[str]] = None,
         new_tokens: Optional[Sequence[str]] = None,
         resize_method=Image.BILINEAR,  # token finetuner uses bilinear (finetune_sd_token.py:816)
+        device_resize: bool = False,
     ):
         self.dataset_folder = dataset_folder
         self.data = load_prompt_json(dataset_folder, json_file_name)
@@ -77,6 +111,10 @@ class TokenDataset:
         # Static width for the starts vector: one slot per trigger word; multi
         # token first-words can add more — use a safe fixed bound.
         self.starts_width = max(1, len(self.word_tokens))
+        self.source_size = None
+        if device_resize and not os.environ.get("AGENDA_TPU_NO_DEVICE_RESIZE"):
+            self.source_size = probe_uniform_size(
+                [os.path.join(dataset_folder, p) for p, _ in self.data])
 
     def __len__(self) -> int:
         return len(self.data)
@@ -90,17 +128,21 @@ class TokenDataset:
             prompt, starts = insert_new_tokens(
                 self.tokenizer, prompt, self.word_tokens, self.new_tokens
             )
-        pixels = load_image(
-            os.path.join(self.dataset_folder, img_path), self.resolution, self.resize_method
-        )
         ids = self.tokenizer(prompt)
         starts = starts[: self.starts_width]
         starts = starts + [-1] * (self.starts_width - len(starts))
-        return {
-            "pixel_values": pixels,
+        out = {
             "input_ids": ids,
             "new_tokens_start": np.asarray(starts, dtype=np.int32),
         }
+        if self.source_size is not None:
+            out["pixel_u8"] = load_image_u8(
+                os.path.join(self.dataset_folder, img_path))
+        else:
+            out["pixel_values"] = load_image(
+                os.path.join(self.dataset_folder, img_path), self.resolution,
+                self.resize_method)
+        return out
 
 
 def _stack(batch: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

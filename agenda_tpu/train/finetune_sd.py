@@ -124,6 +124,7 @@ def make_train_step(
     use_ema: bool = False,
     ema_decay: float = 0.9999,
     gradient_accumulation_steps: int = 1,
+    resize_weights: Optional[Tuple[Any, Any]] = None,
 ) -> Callable:
     """Build the jit-able (state, frozen_params, batch, rng) -> (state, metrics) step.
 
@@ -154,8 +155,16 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
         k_vae, k_loss = jax.random.split(rng)
 
+        if "pixel_u8" in batch:
+            # uint8 source tiles resized ON DEVICE (data/device_resize.py):
+            # 80x less host->device traffic and no host-side PIL resize.
+            from agenda_tpu.data.device_resize import apply_resize
+
+            pixels = apply_resize(batch["pixel_u8"], *resize_weights)
+        else:
+            pixels = batch["pixel_values"]
         # Frozen encoders (finetune_sd.py:763-788).
-        mean, logvar = vae.apply(vae_params, batch["pixel_values"], method="encode")
+        mean, logvar = vae.apply(vae_params, pixels, method="encode")
         latents = sample_latents(mean, logvar, k_vae) * scaling
         context, _ = text_encoder.apply(text_params, batch["input_ids"])
 

@@ -231,6 +231,7 @@ def make_token_train_step(
     schedule: DiffusionSchedule,
     tx: optax.GradientTransformation,
     cfg: TokenLossConfig,
+    resize_weights=None,
 ) -> Callable:
     scaling = vae.config.scaling_factor
 
@@ -244,7 +245,14 @@ def make_token_train_step(
         rng = jax.random.fold_in(rng, state.step)
         k_vae, k_noise, k_t, k_off = jax.random.split(rng, 4)
 
-        mean, logvar = vae.apply(vae_params, batch["pixel_values"], method="encode")
+        if "pixel_u8" in batch:
+            # uint8 source tiles resized ON DEVICE (data/device_resize.py)
+            from agenda_tpu.data.device_resize import apply_resize
+
+            pixels = apply_resize(batch["pixel_u8"], *resize_weights)
+        else:
+            pixels = batch["pixel_values"]
+        mean, logvar = vae.apply(vae_params, pixels, method="encode")
         latents = sample_latents(mean, logvar, k_vae) * scaling
         b = latents.shape[0]
 
