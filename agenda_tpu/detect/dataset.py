@@ -220,6 +220,54 @@ class CocoDetDataset:
             "scale_back": np.asarray([sx, sy, sx, sy], np.float32),
         }
 
+    def source_size(self) -> Optional[Tuple[int, int]]:
+        """(w, h) when every image shares one size (COCO metadata), else
+        None — gates the eval-time device-resize fast path."""
+        if not self.images:
+            return None
+        w0 = self.images[0].get("width")
+        h0 = self.images[0].get("height")
+        if not w0 or not h0:
+            return None
+        for im in self.images:
+            if im.get("width") != w0 or im.get("height") != h0:
+                return None
+        return int(w0), int(h0)
+
+    def item_u8(self, index: int) -> Dict[str, np.ndarray]:
+        """Eval-time fast path: decoded uint8 at SOURCE size + boxes scaled
+        to img_scale — the device resizes pixels (runner._predict_batches),
+        the host only decodes. Matches ``__getitem__``'s eval output after
+        the device resize to ~1 LSB."""
+        from agenda_tpu.data.native_image import load_rgb
+
+        info = self.images[index]
+        img = load_rgb(os.path.join(self.img_dir, info["file_name"]))
+        out_w, out_h = self.img_scale
+        h, w = img.shape[:2]
+        boxes = []
+        for a in self.anns_by_img.get(info["id"], []):
+            x, y, bw, bh = a["bbox"]
+            boxes.append([x, y, x + bw, y + bh])
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        if len(boxes):
+            boxes = boxes * np.array([out_w / w, out_h / h] * 2, np.float32)
+        gt = np.zeros((self.max_gt, 4), np.float32)
+        valid = np.zeros(self.max_gt, bool)
+        nb = min(len(boxes), self.max_gt)
+        if nb:
+            gt[:nb] = boxes[:nb]
+            valid[:nb] = True
+        sx = info.get("width", out_w) / out_w
+        sy = info.get("height", out_h) / out_h
+        return {
+            "image_u8": img,
+            "gt_boxes": gt,
+            "gt_valid": valid,
+            "image_id": np.int32(info["id"]),
+            "scale_back": np.asarray([sx, sy, sx, sy], np.float32),
+        }
+
     def file_name(self, image_id: int) -> str:
         for im in self.images:
             if im["id"] == image_id:

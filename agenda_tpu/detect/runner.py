@@ -510,13 +510,46 @@ class DetectorRunner:
         records = []
         n = len(dataset)
 
+        # Eval-time device resize: uniform source tiles -> the host only
+        # decodes uint8 and the resize to img_scale rides the predict
+        # program as two filter matmuls (data/device_resize.py). A 10k-image
+        # labeling pass touches each tile once, so the train-path tile cache
+        # cannot amortize the host resize here.
+        src = None
+        if (not os.environ.get("AGENDA_TPU_NO_DEVICE_RESIZE")
+                and getattr(dataset, "train", True) is False
+                and hasattr(dataset, "source_size")):
+            src = dataset.source_size()
+        if src is not None:
+            from agenda_tpu.data.device_resize import resize_weights
+
+            out_w, out_h = dataset.img_scale
+            wy = jnp.asarray(resize_weights(src[1], out_h, "bilinear"))
+            wx = jnp.asarray(resize_weights(src[0], out_w, "bilinear"))
+
+            @jax.jit
+            def predict_u8(variables, u8):
+                x = u8.astype(jnp.float32)
+                x = jnp.einsum("Ww,bhwc->bhWc", wx, x)
+                x = jnp.einsum("Hh,bhwc->bHwc", wy, x)
+                # the host path quantizes the resized tile to uint8 (native
+                # resize output) before /255 — match it
+                x = jnp.round(jnp.clip(x, 0.0, 255.0)) / 255.0
+                return self.family.predict_fn(variables, x)
+
         def dispatch(i):
-            # Host-side decode/resize + async device dispatch: JAX returns
+            # Host-side decode(/resize) + async device dispatch: JAX returns
             # futures, so the device runs batch i while the host prepares
             # batch i+1 (one batch in flight — the generate_async pattern;
             # the previous serial loop left the chip idle for the full
             # decode+materialize time of every batch of a 10k-image labeling
             # run).
+            if src is not None:
+                items = [dataset.item_u8(j) for j in range(i, min(i + bs, n))]
+                pad = bs - len(items)
+                images = np.stack([it["image_u8"] for it in items]
+                                  + [items[-1]["image_u8"]] * pad)
+                return items, predict_u8(variables, jnp.asarray(images))
             items = [dataset[j] for j in range(i, min(i + bs, n))]
             pad = bs - len(items)
             images = np.stack([it["image"] for it in items] + [items[-1]["image"]] * pad)

@@ -92,3 +92,51 @@ def test_env_opt_out(tmp_path):
         assert ds.source_size is None
     finally:
         del os.environ["AGENDA_TPU_NO_DEVICE_RESIZE"]
+
+
+def test_detector_eval_u8_fast_path(tmp_path):
+    """runner._predict_batches' device-resize path must produce the same
+    records as the host path (inputs agree to 1 LSB)."""
+    import jax
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from bench_detector import make_noise_dataset
+    from agenda_tpu.detect.configs import DatasetSpec, preset
+    from agenda_tpu.detect.dataset import CocoDetDataset
+    from agenda_tpu.detect.runner import DetectorRunner
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    make_noise_dataset(root, 10)
+    cfg = preset("real_source", "yolov8", train=[DatasetSpec(root, "ann.json")],
+                 output_dir=str(tmp_path / "wd"))
+    cfg.runner.batch_size = 4
+    family = cfg.build_family()
+    runner = DetectorRunner(family, cfg.runner)
+    variables = family.init_variables(jax.random.key(0))
+    ds = CocoDetDataset(root, "ann.json", img_scale=cfg.img_scale, train=False)
+    assert ds.source_size() == (112, 112)
+
+    # item_u8 metadata matches the host item exactly
+    a, b = ds.item_u8(3), ds[3]
+    np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+    np.testing.assert_array_equal(a["scale_back"], b["scale_back"])
+    assert a["image_id"] == b["image_id"]
+
+    recs_dev = runner.test(variables, ds)
+    os.environ["AGENDA_TPU_NO_DEVICE_RESIZE"] = "1"
+    try:
+        recs_host = runner.test(variables, ds)
+    finally:
+        del os.environ["AGENDA_TPU_NO_DEVICE_RESIZE"]
+    assert len(recs_dev) == len(recs_host) == 10
+    for rd, rh in zip(recs_dev, recs_host):
+        assert rd["img_path"] == rh["img_path"]
+        nd, nh = len(rd["pred_instances"]["scores"]), len(rh["pred_instances"]["scores"])
+        # inputs differ by <=1 LSB; the detection sets must agree
+        assert abs(nd - nh) <= max(1, int(0.1 * max(nd, nh)))
+        k = min(nd, nh)
+        if k:
+            np.testing.assert_allclose(rd["pred_instances"]["scores"][:k],
+                                       rh["pred_instances"]["scores"][:k],
+                                       atol=2e-2)
