@@ -397,11 +397,14 @@ def _resolve_runtime_args(stage: Stage, cfg: PipelineConfig) -> List[str]:
     if "__PSEUDO_SOURCE__" in argv:
         src_set = os.path.join(cfg.work_dir, "Synthetic",
                                f"{cfg.source_name}-with-cars")
-        hit = _latest(os.path.join(
+        hits = glob.glob(os.path.join(
             src_set, "annotations_coco_FakeBBoxes*Pseudo-*.json"))
-        if hit is None:
+        if not hits:
             raise FileNotFoundError(
                 f"no pseudo COCO under {src_set} — run pseudo_source first")
+        # newest by mtime: the filename digits encode box size/threshold,
+        # not a counter, so a --force re-run at a new threshold must win
+        hit = max(hits, key=os.path.getmtime)
         argv[argv.index("__PSEUDO_SOURCE__")] = os.path.abspath(hit)
     if "__THRESH_SOURCE__" in argv:
         if cfg.thresh_conf is not None:
@@ -420,7 +423,21 @@ def _resolve_runtime_args(stage: Stage, cfg: PipelineConfig) -> List[str]:
     return argv
 
 
-def _done(stage: Stage) -> bool:
+def _marker(cfg: PipelineConfig, name: str) -> str:
+    return os.path.join(cfg.work_dir, ".stage_done", name)
+
+
+def _done(stage: Stage, cfg: PipelineConfig, trust_outputs: bool = False) -> bool:
+    """A stage is done when the orchestrator recorded its completion (marker
+    written AFTER main() returned). Output sentinels alone are not enough —
+    most stages create their output dirs/checkpoints at START or mid-run
+    (generation makedirs images/ before sampling; det_train writes
+    latest.safetensors every epoch), so an interrupted stage would otherwise
+    be skipped as done and feed partial outputs downstream. ``trust_outputs``
+    restores sentinel-only skipping for chains begun outside the
+    orchestrator."""
+    if not trust_outputs and not os.path.exists(_marker(cfg, stage.name)):
+        return False
     if stage.done_glob is not None:
         return bool(glob.glob(stage.done_glob))
     return bool(stage.outputs) and all(os.path.exists(o) for o in stage.outputs)
@@ -450,6 +467,11 @@ def parse_args(argv=None):
                    help="Stop after this stage (inclusive).")
     p.add_argument("--force", action="store_true",
                    help="Run selected stages even when their outputs exist.")
+    p.add_argument("--trust-outputs", action="store_true",
+                   help="Treat existing stage outputs as done even without "
+                        "this orchestrator's completion markers (for chains "
+                        "begun by running the CLIs manually). Default "
+                        "requires the marker, so interrupted stages re-run.")
     return p.parse_args(argv)
 
 
@@ -483,19 +505,20 @@ def main(argv=None):
 
     if args.list:
         for s in stages:
-            mark = "done   " if _done(s) else "pending"
+            mark = "done   " if _done(s, cfg, args.trust_outputs) else "pending"
             sel = " " if s.name in selected else "-"
             print(f"{sel} [{mark}] {s.name:24s} {s.note}")
         return 0
 
     os.makedirs(cfg.work_dir, exist_ok=True)
+    os.makedirs(os.path.join(cfg.work_dir, ".stage_done"), exist_ok=True)
     manifest = os.path.join(cfg.work_dir, "pipeline_manifest.jsonl")
     for s in stages:
         if s.name not in selected:
             continue
-        if _done(s) and not args.force:
+        if _done(s, cfg, args.trust_outputs) and not args.force:
             sentinel = s.outputs[0] if s.outputs else s.done_glob
-            print(f"[skip] {s.name}: outputs exist ({sentinel})")
+            print(f"[skip] {s.name}: complete ({sentinel})")
             continue
         if args.dry_run:
             try:
@@ -511,6 +534,8 @@ def main(argv=None):
         fresh = build_stages(cfg)
         stage = next(x for x in fresh if x.name == s.name)
         run_stage(stage, cfg)
+        with open(_marker(cfg, s.name), "w") as f:
+            f.write(str(time.time()))
         with open(manifest, "a") as f:
             f.write(json.dumps({
                 "ts": time.time(), "stage": s.name,

@@ -133,6 +133,25 @@ def _hsv_cv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
     return np.stack([r + m, g + m, b + m], axis=-1)
 
 
+def hsv_apply(img: np.ndarray, gains) -> np.ndarray:
+    """Apply FIXED hsv gains (h wraps mod 180, s/v clip 0..255) via the fused
+    C++ pass (native/image_ops.cc:hsv_jitter_f32) with numpy fallback —
+    shared by the host pipeline and the device-aug passthrough renderer."""
+    from agenda_tpu.data.native_image import hsv_jitter_inplace
+
+    out = np.ascontiguousarray(img, np.float32)
+    if out is img:  # never mutate the caller's array
+        out = img.copy()
+    if hsv_jitter_inplace(out, gains[0], gains[1], gains[2]):
+        # same formulas as below, verified bit-close in tests/test_native_image.py
+        return out
+    h, s, v = _rgb_to_hsv_cv(img)
+    h = (h + gains[0]) % 180.0
+    s = np.clip(s + gains[1], 0, 255)
+    v = np.clip(v + gains[2], 0, 255)
+    return np.clip(_hsv_cv_to_rgb(h, s, v), 0, 255).astype(np.float32)
+
+
 def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
                hue_delta: int = 5, saturation_delta: int = 30,
                value_delta: int = 30) -> np.ndarray:
@@ -141,20 +160,7 @@ def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
     gains = rng.uniform(-1, 1, 3) * np.array(
         [hue_delta, saturation_delta, value_delta], np.float32
     )
-    from agenda_tpu.data.native_image import hsv_jitter_inplace
-
-    out = np.ascontiguousarray(img, np.float32)
-    if out is img:  # never mutate the caller's array
-        out = img.copy()
-    if hsv_jitter_inplace(out, gains[0], gains[1], gains[2]):
-        # fused C++ single pass (native/image_ops.cc:hsv_jitter_f32) — same
-        # formulas as below, verified bit-close in tests/test_native_image.py
-        return out
-    h, s, v = _rgb_to_hsv_cv(img)
-    h = (h + gains[0]) % 180.0
-    s = np.clip(s + gains[1], 0, 255)
-    v = np.clip(v + gains[2], 0, 255)
-    return np.clip(_hsv_cv_to_rgb(h, s, v), 0, 255).astype(np.float32)
+    return hsv_apply(img, gains)
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:
@@ -167,9 +173,9 @@ def _odd_kernel(rng: np.random.Generator, lo: int = 3, hi: int = 7) -> int:
     return int(rng.integers(lo // 2, hi // 2 + 1)) * 2 + 1
 
 
-def blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Albu Blur: box filter, odd kernel in [3,7], reflect-101 borders."""
-    k = _odd_kernel(rng)
+def box_blur_k(img: np.ndarray, k: int) -> np.ndarray:
+    """Box filter with a FIXED odd kernel, reflect borders (shared by the
+    host pipeline and the device-aug passthrough renderer)."""
     p = k // 2
     padded = np.pad(img, ((p, p), (p, p), (0, 0)), mode="reflect")
     out = np.zeros_like(img)
@@ -179,9 +185,8 @@ def blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return (out / (k * k)).astype(np.float32)
 
 
-def median_blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Albu MedianBlur: odd kernel in [3,7]."""
-    k = _odd_kernel(rng)
+def median_blur_k(img: np.ndarray, k: int) -> np.ndarray:
+    """Median filter with a FIXED odd kernel, reflect borders."""
     p = k // 2
     padded = np.pad(img, ((p, p), (p, p), (0, 0)), mode="reflect")
     windows = np.stack(
@@ -190,6 +195,16 @@ def median_blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         axis=0,
     )
     return np.median(windows, axis=0).astype(np.float32)
+
+
+def blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Albu Blur: box filter, odd kernel in [3,7], reflect-101 borders."""
+    return box_blur_k(img, _odd_kernel(rng))
+
+
+def median_blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Albu MedianBlur: odd kernel in [3,7]."""
+    return median_blur_k(img, _odd_kernel(rng))
 
 
 def clahe(img: np.ndarray, clip_limit: float = 4.0,

@@ -234,17 +234,30 @@ class CocoDetDataset:
                 return None
         return int(w0), int(h0)
 
-    def item_u8(self, index: int) -> Dict[str, np.ndarray]:
+    def item_u8(self, index: int,
+                expect_size: Optional[Tuple[int, int]] = None) -> Dict[str, np.ndarray]:
         """Eval-time fast path: decoded uint8 at SOURCE size + boxes scaled
         to img_scale — the device resizes pixels (runner._predict_batches),
         the host only decodes. Matches ``__getitem__``'s eval output after
-        the device resize to ~1 LSB."""
+        the device resize to ~1 LSB. ``expect_size`` (w, h) guards against
+        COCO metadata lying about a file's real size: a mismatching tile is
+        host-resized to the expected size so the batch still stacks (boxes
+        always scale by the ACTUAL decoded dims, like the host path)."""
         from agenda_tpu.data.native_image import load_rgb
 
         info = self.images[index]
         img = load_rgb(os.path.join(self.img_dir, info["file_name"]))
         out_w, out_h = self.img_scale
         h, w = img.shape[:2]
+        if expect_size is not None and (w, h) != tuple(expect_size):
+            from agenda_tpu.data.native_image import available, resize_bilinear
+
+            ew, eh = expect_size
+            if available():
+                img = resize_bilinear(img, ew, eh)
+            else:
+                img = np.asarray(Image.fromarray(img).resize((ew, eh),
+                                                             Image.BILINEAR))
         boxes = []
         for a in self.anns_by_img.get(info["id"], []):
             x, y, bw, bh = a["bbox"]

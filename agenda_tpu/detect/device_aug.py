@@ -300,23 +300,24 @@ class AugPlanner:
         """Full host render of a plan (the device render's oracle, and the
         path passthrough samples take): same matrices, PIL pixels, exact
         MedianBlur/CLAHE from the plan's stored draws."""
-        from agenda_tpu.detect.augment import clahe as _clahe
-        from agenda_tpu.detect.augment import to_gray
+        from agenda_tpu.detect.augment import (
+            box_blur_k, clahe as _clahe, hsv_apply, median_blur_k, to_gray,
+        )
 
         img = self._render_branch_host(plan.branches[0])
         if plan.mix:
             img2 = self._render_branch_host(plan.branches[1])
             img = (0.5 * img + 0.5 * img2).astype(np.float32)
         if plan.blur_k:
-            img = _box_blur_np(img, plan.blur_k)
+            img = box_blur_k(img, plan.blur_k)
         if plan.median_k:
-            img = _median_blur_np(img, plan.median_k)
+            img = median_blur_k(img, plan.median_k)
         if plan.gray:
             img = to_gray(img)
         if plan.clahe:
             img = _clahe(img)
         if plan.hsv_gains is not None:
-            img = _hsv_apply_np(img, plan.hsv_gains)
+            img = hsv_apply(img, plan.hsv_gains)
         if plan.flip:
             img = np.ascontiguousarray(img[:, ::-1])
         return img.astype(np.float32)
@@ -355,41 +356,6 @@ class AugPlanner:
         return out
 
 
-def _box_blur_np(img: np.ndarray, k: int) -> np.ndarray:
-    p = k // 2
-    padded = np.pad(img, ((p, p), (p, p), (0, 0)), mode="reflect")
-    out = np.zeros_like(img)
-    for dy in range(k):
-        for dx in range(k):
-            out += padded[dy:dy + img.shape[0], dx:dx + img.shape[1]]
-    return (out / (k * k)).astype(np.float32)
-
-
-def _median_blur_np(img: np.ndarray, k: int) -> np.ndarray:
-    p = k // 2
-    padded = np.pad(img, ((p, p), (p, p), (0, 0)), mode="reflect")
-    windows = np.stack(
-        [padded[dy:dy + img.shape[0], dx:dx + img.shape[1]]
-         for dy in range(k) for dx in range(k)], axis=0)
-    return np.median(windows, axis=0).astype(np.float32)
-
-
-def _hsv_apply_np(img: np.ndarray, gains: np.ndarray) -> np.ndarray:
-    """Apply FIXED hsv gains (the plan's draws) via the fused native kernel
-    or the numpy fallback — same math as augment.hsv_jitter."""
-    from agenda_tpu.data.native_image import hsv_jitter_inplace
-    from agenda_tpu.detect.augment import _hsv_cv_to_rgb, _rgb_to_hsv_cv
-
-    out = np.ascontiguousarray(img, np.float32)
-    if out is img:
-        out = img.copy()
-    if hsv_jitter_inplace(out, gains[0], gains[1], gains[2]):
-        return out
-    h, s, v = _rgb_to_hsv_cv(img)
-    h = (h + gains[0]) % 180.0
-    s = np.clip(s + gains[1], 0, 255)
-    v = np.clip(v + gains[2], 0, 255)
-    return np.clip(_hsv_cv_to_rgb(h, s, v), 0, 255).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -437,11 +403,16 @@ def _box_blur_jnp(img, k: int):
     return x
 
 
-def render_batch(data_u8, scratch, plans, tile_hw: Tuple[int, int]):
+def render_batch(data_u8, scratch, plans, tile_hw: Tuple[int, int],
+                 has_mix: bool = True):
     """Render a batch of plans from the HBM dataset tensor.
 
     data_u8: (N, th, tw, 3) uint8; scratch: (K, th, tw, 3) f32 0..255;
-    plans: packed arrays from ``AugPlanner.plan_batch``.
+    plans: packed arrays from ``AugPlanner.plan_batch``. ``has_mix`` is a
+    STATIC flag (derived from the recipe: mosaic and mixup_prob > 0) — when
+    False the second render branch is skipped at trace time, halving the
+    gather cost for stage-2/plain recipes where ``jnp.where`` would
+    otherwise still evaluate the inactive branch.
     Returns (B, th, tw, 3) float32 in 0..1 (the train-step input format).
     """
     th, tw = tile_hw
@@ -512,8 +483,9 @@ def render_batch(data_u8, scratch, plans, tile_hw: Tuple[int, int]):
         return jnp.where(in_clip[..., None], v, PAD_VAL)
 
     out = branch(0)
-    mix = plans["mix"][:, None, None, None]
-    out = jnp.where(mix > 0, (1 - mix) * out + mix * branch(1), out)
+    if has_mix:
+        mix = plans["mix"][:, None, None, None]
+        out = jnp.where(mix > 0, (1 - mix) * out + mix * branch(1), out)
 
     for k in (3, 5, 7):
         sel = (plans["blur_k"] == k)[:, None, None, None]

@@ -338,13 +338,14 @@ class DetectorRunner:
             tile_hw = (planner.th, planner.tw)
             data_rep = replicate(data_dev, mesh)
 
-        @jax.jit
-        def train_step(params, ema_params, batch_stats, opt_state, batch, rng, step):
+        def train_step(params, ema_params, batch_stats, opt_state, batch, rng,
+                       step, has_mix=False):
             rng = jax.random.fold_in(rng, step)
             if "inv" in batch:
                 # device-side augmentation: render the batch from the
                 # HBM-resident dataset tensor inside the compiled step
-                image = _render(batch["data"], batch["scratch"], batch, tile_hw)
+                image = _render(batch["data"], batch["scratch"], batch,
+                                tile_hw, has_mix=has_mix)
                 batch = {"image": image, "gt_boxes": batch["gt_boxes"],
                          "gt_valid": batch["gt_valid"]}
 
@@ -370,6 +371,7 @@ class DetectorRunner:
             metrics["grad_norm"] = optax.global_norm(grads)
             return new_params, new_ema, new_bs, new_opt, metrics
 
+        train_step = jax.jit(train_step, static_argnums=(7,))
         rng = jax.random.key(cfg.seed)
         best: Dict[str, float] = {k: -1.0 for k in cfg.save_best}
         timer = StepTimer()
@@ -392,21 +394,38 @@ class DetectorRunner:
                 (cfg.seed + 1) * 1_000_003 + epoch)
             batches = loader._batches_indices()
             loader.epoch += 1
-            slots = max(1, global_bs // 8)
+            # MedianBlur/CLAHE passthrough slots: expected rare-sample count
+            # is ~3% of the batch; 64 covers global_bs 1024 at > 6 sigma
+            slots = max(1, min(64, global_bs // 8))
+            zero_scratch = getattr(self, "_zero_scratch", None)
+            if zero_scratch is None or zero_scratch.shape[0] != slots:
+                zero_scratch = replicate(np.zeros(
+                    (slots, planner.th, planner.tw, 3), np.float32), mesh)
+                self._zero_scratch = zero_scratch
             for idx_b in batches:
                 packed, scratch, _ = planner.plan_batch(
                     idx_b, aug_rng, train_dataset.max_gt, scratch_slots=slots)
                 db = shard_batch(packed, mesh)
-                db["scratch"] = replicate(scratch, mesh)
+                # upload the scratch slab only when a passthrough sample used
+                # it — the common batch reuses the device-resident zeros
+                used = bool((packed["pass_slot"] >= 0).any())
+                db["scratch"] = replicate(scratch, mesh) if used else zero_scratch
                 db["data"] = data_rep
                 yield db
+
+        def recipe_has_mix():
+            a = getattr(train_dataset, "aug", None)
+            return bool(planner is not None and a is not None
+                        and a.mosaic and a.mixup_prob > 0)
 
         for epoch in range(start_epoch, cfg.max_epochs):
             if switch_epoch is not None and epoch >= switch_epoch:
                 self._apply_stage2_aug(train_dataset)
+            has_mix = recipe_has_mix()
             for db in epoch_batches(epoch):
                 params, ema_params, batch_stats, opt_state, metrics = train_step(
-                    params, ema_params, batch_stats, opt_state, db, rng, jnp.int32(gstep)
+                    params, ema_params, batch_stats, opt_state, db, rng,
+                    jnp.int32(gstep), has_mix
                 )
                 gstep += 1
                 if gstep % cfg.log_interval == 0 or gstep <= 2:
@@ -545,7 +564,8 @@ class DetectorRunner:
             # decode+materialize time of every batch of a 10k-image labeling
             # run).
             if src is not None:
-                items = [dataset.item_u8(j) for j in range(i, min(i + bs, n))]
+                items = [dataset.item_u8(j, expect_size=src)
+                         for j in range(i, min(i + bs, n))]
                 pad = bs - len(items)
                 images = np.stack([it["image_u8"] for it in items]
                                   + [items[-1]["image_u8"]] * pad)

@@ -164,9 +164,12 @@ def main(argv=None):
 
 
 class _Slice:
+    """First-n view of a dataset; forwards everything else (train,
+    source_size, item_u8, img_scale, ...) so the warmup compiles the SAME
+    predict program (host or device-resize) as the timed run."""
+
     def __init__(self, ds, n):
         self.ds, self.n = ds, min(n, len(ds))
-        self.img_dir = ds.img_dir
 
     def __len__(self):
         return self.n
@@ -174,8 +177,8 @@ class _Slice:
     def __getitem__(self, i):
         return self.ds[i]
 
-    def file_name(self, image_id):
-        return self.ds.file_name(image_id)
+    def __getattr__(self, name):
+        return getattr(self.ds, name)
 
 
 if __name__ == "__main__":
