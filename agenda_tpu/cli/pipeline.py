@@ -87,6 +87,7 @@ class PipelineConfig:
     real_target_test_root: str = "Data/Real/UGRC/test"
     real_target_test_ann: str = "annotations_coco_FakeBBoxes:42.36px_ForIoU:0.500.json"
     thresh_conf: Optional[float] = None     # None = F1-max from threshold_source
+    device_aug: bool = False                # render detector aug on chip
     pos_thresh: float = 0.75                # ann README:47-49
     neg_thresh: float = 0.35
     hard_neg_thresh: float = 0.05
@@ -386,6 +387,10 @@ def build_stages(cfg: PipelineConfig) -> List[Stage]:
          "--out", pred_real_tgt],
         [pred_real_tgt], "test on real target (ann README:52)"))
 
+    if cfg.device_aug:
+        for s in stages:
+            if s.module == "det_train":
+                s.argv.append("--device-aug")
     for s in stages:
         s.argv += cfg.extra_args.get(s.name, [])
     return stages

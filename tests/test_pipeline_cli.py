@@ -107,6 +107,10 @@ def test_stage_dag_names_and_config_roundtrip(tmp_path):
     stages2 = pl.build_stages(cfg2)
     assert stages2[0].name == "token_stage1"
     assert cfg2.base_model in stages2[0].argv
+    # device_aug flows to every det_train stage
+    cfg3 = _cfg(str(tmp_path), device_aug=True)
+    for s in pl.build_stages(cfg3):
+        assert ("--device-aug" in s.argv) == (s.module == "det_train")
 
 
 def test_unknown_config_key_rejected(tmp_path):
