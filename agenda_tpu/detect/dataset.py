@@ -296,6 +296,10 @@ class ConcatDataset:
         self.datasets = list(datasets)
         self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
 
+    @property
+    def max_gt(self) -> int:
+        return max(getattr(d, "max_gt", 0) for d in self.datasets)
+
     def __len__(self):
         return int(self._offsets[-1])
 

@@ -114,6 +114,11 @@ class AugPlanner:
         _, boxes = self.ds._load_scaled(index)
         return boxes
 
+    def _load_scaled_global(self, index: int):
+        """Tile lookup in DEVICE-TENSOR index space (== dataset space here;
+        ConcatAugPlanner overrides with offset routing)."""
+        return self.ds._load_scaled(index)
+
     # -- plan building -------------------------------------------------------
 
     def _plan_mosaic_affine(self, index: int, rng,
@@ -338,10 +343,10 @@ class AugPlanner:
                     continue
                 sx = tw - rw if ax else 0
                 sy = th - rh if ay else 0
-                img, _ = self.ds._load_scaled(int(br.idxs[k]))
+                img, _ = self._load_scaled_global(int(br.idxs[k]))
                 canvas[y1:y2, x1:x2] = img[sy:sy + rh, sx:sx + rw]
         else:
-            canvas, _ = self.ds._load_scaled(int(br.idxs[0]))
+            canvas, _ = self._load_scaled_global(int(br.idxs[0]))
         pil = Image.fromarray(np.clip(canvas, 0, 255).astype(np.uint8))
         warped = pil.transform((tw, th), Image.AFFINE,
                                data=tuple(np.asarray(br.inv, np.float64)[:2].ravel()),
@@ -361,6 +366,43 @@ class AugPlanner:
 # ---------------------------------------------------------------------------
 # device render (pure jnp — jit/vmap-friendly, static shapes)
 # ---------------------------------------------------------------------------
+
+
+class ConcatAugPlanner(AugPlanner):
+    """Device aug over a ConcatDataset (the Synthetic_Target stage's
+    with-cars + without-cars concatenation): one HBM tensor holds ALL parts'
+    tiles; each sample plans against ITS OWN part (mosaic/mixup retrieval
+    stays within the part — matching the reference, whose Mosaic pipeline is
+    attached per concatenated dataset, ``Synthetic_Target/faster-rcnn.py:
+    238-262`` MultiImageMixDataset-per-part), with tile indices shifted into
+    the combined tensor's space."""
+
+    def __init__(self, concat):
+        self.parts = [AugPlanner(d) for d in concat.datasets]
+        scales = {p.ds.img_scale for p in self.parts}
+        if len(scales) != 1:
+            raise ValueError(f"parts disagree on img_scale: {scales}")
+        self.tw, self.th = next(iter(scales))
+        self._offsets = np.cumsum([0] + [len(p.ds) for p in self.parts])
+
+    def dataset_tensor(self) -> np.ndarray:
+        return np.concatenate([p.dataset_tensor() for p in self.parts])
+
+    def _route(self, gindex: int):
+        pi = int(np.searchsorted(self._offsets, gindex, side="right") - 1)
+        return self.parts[pi], int(self._offsets[pi]), gindex - int(self._offsets[pi])
+
+    def _load_scaled_global(self, index: int):
+        part, off, local = self._route(index)
+        return part.ds._load_scaled(local)
+
+    def plan_item(self, gindex: int, rng) -> Plan:
+        part, off, local = self._route(gindex)
+        plan = part.plan_item(local, rng)
+        if off:
+            for br in plan.branches:
+                br.idxs = br.idxs + np.int32(off)
+        return plan
 
 
 def _hsv_jitter_jnp(img, gains):

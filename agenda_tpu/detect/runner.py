@@ -468,19 +468,21 @@ class DetectorRunner:
 
     @staticmethod
     def _make_planner(dataset):
-        """-> (AugPlanner | None, reason). Device aug needs a single cached
-        CocoDetDataset with a non-LSJ recipe."""
-        from agenda_tpu.detect.device_aug import AugPlanner
+        """-> (AugPlanner | None, reason). Device aug needs cached
+        CocoDetDataset parts with non-LSJ recipes."""
+        from agenda_tpu.detect.device_aug import AugPlanner, ConcatAugPlanner
 
-        if getattr(dataset, "datasets", None) is not None:
-            return None, "concat dataset"
-        aug = getattr(dataset, "aug", None)
-        if aug is None:
-            return None, "dataset has no aug recipe"
-        if aug.lsj:
-            return None, "LSJ recipe"
-        if getattr(dataset, "_scaled_cache", None) is None:
-            return None, "tile cache disabled (AGENDA_TPU_IMG_CACHE_MB)"
+        parts = getattr(dataset, "datasets", None)
+        for part in (parts or [dataset]):
+            aug = getattr(part, "aug", None)
+            if aug is None:
+                return None, "dataset has no aug recipe"
+            if aug.lsj:
+                return None, "LSJ recipe"
+            if getattr(part, "_scaled_cache", None) is None:
+                return None, "tile cache disabled (AGENDA_TPU_IMG_CACHE_MB)"
+        if parts is not None:
+            return ConcatAugPlanner(dataset), ""
         return AugPlanner(dataset), ""
 
     def _apply_stage2_aug(self, dataset) -> None:

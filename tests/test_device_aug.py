@@ -211,8 +211,8 @@ def test_make_planner_fallback_reasons(aug_root):
     ds = _mix_dataset(aug_root)
     planner, why = DetectorRunner._make_planner(ds)
     assert planner is not None
-    _, why = DetectorRunner._make_planner(ConcatDataset([ds, ds]))
-    assert "concat" in why
+    p2, why = DetectorRunner._make_planner(ConcatDataset([ds, _mix_dataset(aug_root)]))
+    assert p2 is not None  # concat supported (Synthetic_Target stage)
     os.environ["AGENDA_TPU_IMG_CACHE_MB"] = "0"
     try:
         ds_nc = _mix_dataset(aug_root)
@@ -220,3 +220,66 @@ def test_make_planner_fallback_reasons(aug_root):
         assert p is None and "cache" in why
     finally:
         del os.environ["AGENDA_TPU_IMG_CACHE_MB"]
+
+
+def test_concat_planner_parity_and_routing(aug_root, tmp_path):
+    """ConcatAugPlanner: retrieval stays within the sample's part (reference
+    per-part Mosaic wrapping), tile indices address the combined tensor, and
+    the device render matches the host oracle."""
+    root2 = str(tmp_path / "part2")
+    _make_ds(root2, n=16, seed=5)
+    from agenda_tpu.detect.dataset import ConcatDataset
+
+    a = _mix_dataset(aug_root)
+    b = _mix_dataset(root2)
+    concat = ConcatDataset([a, b])
+    planner = D.ConcatAugPlanner(concat)
+    rng = np.random.default_rng(2)
+    n_a = len(a)
+    # part-B sample: every tile index must land in part B's tensor range
+    for _ in range(4):
+        p = planner.plan_item(n_a + 3, rng)
+        for br in p.branches:
+            assert (br.idxs >= n_a).all() and (br.idxs < n_a + len(b)).all()
+    # part-A sample stays in part A's range
+    p = planner.plan_item(1, rng)
+    for br in p.branches:
+        assert (br.idxs < n_a).all()
+
+    packed, scratch, plans = planner.plan_batch(
+        [0, 5, n_a + 1, n_a + 7], rng, max_gt=64, scratch_slots=2)
+    data = jnp.asarray(planner.dataset_tensor())
+    assert data.shape[0] == len(concat)
+    out = np.asarray(D.render_batch(
+        data, jnp.asarray(scratch),
+        {k: jnp.asarray(v) for k, v in packed.items()},
+        (planner.th, planner.tw))) * 255.0
+    host = np.stack([planner.render_host(p) for p in plans])
+    diff = np.abs(out - host)
+    assert diff.mean() < 0.8 and (diff > 2).mean() < 0.01
+
+
+def test_runner_device_aug_concat_trains(aug_root, tmp_path):
+    from agenda_tpu.detect.runner import DetectorRunner
+
+    root2 = str(tmp_path / "nocars")
+    _make_ds(root2, n=8, seed=9)
+    cfg = preset("synthetic_target", "yolov8",
+                 train=[DatasetSpec(aug_root, "ann.json"),
+                        DatasetSpec(root2, "ann.json")],
+                 output_dir=str(tmp_path / "wd"))
+    cfg.runner.batch_size = 2
+    cfg.runner.max_epochs = 1
+    cfg.runner.val_interval = 100
+    cfg.runner.close_mosaic_epochs = 0
+    cfg.runner.log_interval = 1
+    cfg.runner.device_aug = True
+    family = cfg.build_family()
+    runner = DetectorRunner(family, cfg.runner)
+    ds = cfg.build_train_dataset()
+    assert getattr(ds, "datasets", None) is not None
+    runner.train(ds)
+    losses = [json.loads(l)["loss"]
+              for l in open(os.path.join(cfg.runner.output_dir, "metrics.jsonl"))
+              if "loss" in json.loads(l)]
+    assert losses and all(np.isfinite(l) for l in losses)
