@@ -337,7 +337,7 @@ def main(argv=None):
     save_pipeline(
         args.output_dir,
         bundle.unet_config,
-        {"params": jax.tree.map(np.asarray, final_params)},
+        {"params": jax.device_get(final_params)},
         bundle.vae_config,
         bundle.vae_params,
         bundle.text_config,

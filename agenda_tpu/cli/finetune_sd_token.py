@@ -329,9 +329,10 @@ def main(argv=None):
                 args.with_cross_attn_reg)
 
     def current_unet_params():
-        return {"params": merge_params(
-            jax.tree.map(np.asarray, state.unet_trainable),
-            jax.tree.map(np.asarray, state.unet_frozen))}
+        # batched device_get: per-leaf np.asarray pays one tunnel RPC each
+        trainable, frozen = jax.device_get(
+            (state.unet_trainable, state.unet_frozen))
+        return {"params": merge_params(trainable, frozen)}
 
     def current_table():
         t = np.array(np.asarray(text_params_dev["params"]["token_embedding"]))
@@ -369,8 +370,7 @@ def main(argv=None):
         # on the AsyncWriter thread so the chip keeps training.
         unet_sd = unet_flax_to_torch(current_unet_params())
         embedding = np.asarray(state.embedding) if args.train_token else None
-        opt_snap = jax.tree.map(np.asarray, state.opt_state)
-        step_snap = np.asarray(state.step)
+        opt_snap, step_snap = jax.device_get((state.opt_state, state.step))
 
         def payload(path):
             import orbax.checkpoint as ocp

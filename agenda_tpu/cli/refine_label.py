@@ -104,10 +104,11 @@ def main(argv=None):
     predict = make_classifier_predict(model)
 
     def save_ckpt(name):
+        params, batch_stats = jax.device_get((state.params, state.batch_stats))
         flat = {"params." + ".".join(k): np.asarray(v)
-                for k, v in _flatten(jax.tree.map(np.asarray, state.params)).items()}
+                for k, v in _flatten(params).items()}
         flat.update({"batch_stats." + ".".join(k): np.asarray(v)
-                     for k, v in _flatten(jax.tree.map(np.asarray, state.batch_stats)).items()})
+                     for k, v in _flatten(batch_stats).items()})
         _write_safetensors(os.path.join(args.checkpoint_save_path, name), flat)
 
     def evaluate():

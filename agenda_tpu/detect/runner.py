@@ -83,9 +83,13 @@ class RunnerConfig:
 
 
 def save_variables(path: str, variables: Dict[str, Any]) -> None:
+    # One batched device_get instead of per-leaf np.asarray: over a tunneled
+    # backend each leaf pull pays a full RPC round trip (measured 6.4 s for
+    # yolov8's 183 params vs 0.33 s batched — 14 ms/leaf latency).
+    variables = jax.device_get(variables)
     flat = {}
     for col, tree in variables.items():
-        for k, v in _flatten(jax.tree.map(np.asarray, tree)).items():
+        for k, v in _flatten(tree).items():
             flat[col + "." + ".".join(k)] = np.asarray(v)
     _write_safetensors(path, flat)
 
@@ -429,9 +433,9 @@ class DetectorRunner:
                 )
                 gstep += 1
                 if gstep % cfg.log_interval == 0 or gstep <= 2:
-                    m = {k: float(v) for k, v in metrics.items()}
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     m.update(epoch=epoch, step=gstep, lr=float(lr_fn(gstep)),
-                             sps=timer.tick())
+                             sps=timer.tick(gstep))
                     metrics_log.write(_json.dumps(m) + "\n")
                     metrics_log.flush()
                     logger.info("e%d s%d loss=%.4f lr=%.2e", epoch, gstep,
@@ -504,7 +508,7 @@ class DetectorRunner:
         One safetensors file with the opt_state leaves in tree order — orbax's
         many-small-files sync save measured 13 s/epoch on this host.
         """
-        leaves = jax.tree.leaves(opt_state)
+        leaves = jax.device_get(jax.tree.leaves(opt_state))  # batched pull
         flat = {f"opt.{i:04d}": np.asarray(x) for i, x in enumerate(leaves)}
         flat["epoch"] = np.asarray(epoch, np.int64)
         flat["gstep"] = np.asarray(gstep, np.int64)
@@ -579,7 +583,9 @@ class DetectorRunner:
 
         def collect(pending):
             items, (boxes, scores, valid) = pending
-            boxes, scores, valid = np.asarray(boxes), np.asarray(scores), np.asarray(valid)
+            # one batched transfer: three sequential np.asarray pulls pay
+            # three tunnel round trips per batch
+            boxes, scores, valid = jax.device_get((boxes, scores, valid))
             for k, it in enumerate(items):
                 keep = valid[k] & (scores[k] > 0)
                 records.append(

@@ -514,11 +514,14 @@ class StableDiffusionPipeline:
             tgate_step,
         )
         def materialize():
-            imgs = np.asarray(images)
             if words:
-                wm = np.asarray(word_maps)
+                # one batched transfer (sequential np.asarray pulls pay one
+                # tunnel round trip each)
+                imgs, wm = jax.device_get((images, word_maps))
                 return imgs, {w: wm[:, i] for i, w in enumerate(words)}
-            return imgs, (np.asarray(heatmaps) if collect_heatmaps else None)
+            if collect_heatmaps:
+                return jax.device_get((images, heatmaps))
+            return np.asarray(images), None
 
         return materialize
 

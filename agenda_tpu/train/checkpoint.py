@@ -57,19 +57,20 @@ def _snapshot_state(state, ema_as_unet_ema: bool) -> dict:
     """Device -> host copies of everything a checkpoint writes.
 
     JAX arrays are immutable, so snapshotting at step N stays valid while the
-    training loop races ahead; np.asarray blocks only until step N's values
-    are ready."""
-    return {
-        "params": jax.tree.map(np.asarray, state.params),
+    training loop races ahead. One batched jax.device_get for the whole
+    snapshot: per-leaf np.asarray pays a full RPC round trip per tensor on a
+    tunneled backend (measured ~14 ms/leaf — ~10 s for a UNet+opt tree)."""
+    return jax.device_get({
+        "params": state.params,
         "ema_params": (
-            jax.tree.map(np.asarray, state.ema.params)
+            state.ema.params
             if (ema_as_unet_ema and state.ema is not None)
             else None
         ),
-        "opt_state": jax.tree.map(np.asarray, state.opt_state),
-        "step": np.asarray(state.step),
-        "ema_step": None if state.ema is None else np.asarray(state.ema.step),
-    }
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "ema_step": None if state.ema is None else state.ema.step,
+    })
 
 
 def atomic_checkpoint_dir(

@@ -45,20 +45,30 @@ def maybe_profile(trace_dir: str | None):
 
 
 class StepTimer:
-    """Rolling steps/sec metering for training loops."""
+    """Rolling steps/sec metering for training loops.
+
+    ``tick(step)`` may be called less often than once per step (e.g. only at
+    log boundaries): the rate is computed from the STEP COUNTER delta over
+    the window, not from the number of tick calls — calling it every
+    ``log_interval`` steps without passing ``step`` used to report
+    log-events/sec, a ``log_interval``-fold underestimate."""
 
     def __init__(self, window: int = 50):
         self.window = window
-        self.times = []
+        self.times = []  # (step, time) pairs
 
-    def tick(self) -> float:
+    def tick(self, step: int | None = None) -> float:
         now = time.time()
-        self.times.append(now)
+        prev_step = self.times[-1][0] if self.times else -1
+        self.times.append((step if step is not None else prev_step + 1, now))
         if len(self.times) > self.window:
             self.times.pop(0)
         if len(self.times) < 2:
             return 0.0
-        return (len(self.times) - 1) / (self.times[-1] - self.times[0])
+        (s0, t0), (s1, t1) = self.times[0], self.times[-1]
+        if t1 <= t0:
+            return 0.0
+        return (s1 - s0) / (t1 - t0)
 
 
 def image_grid(images, rows: int, cols: int):
