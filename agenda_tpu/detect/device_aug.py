@@ -98,6 +98,14 @@ class AugPlanner:
         self.ds = dataset
         self.tw, self.th = dataset.img_scale
 
+    @property
+    def separable(self) -> bool:
+        """True when the recipe's affine is axis-aligned (rotate 0, shear 0 —
+        every reference YOLO config) so ``render_batch`` may take the
+        matmul-resample path."""
+        a = self.ds.aug
+        return a.max_rotate_degree == 0.0 and a.max_shear_degree == 0.0
+
     # -- data ----------------------------------------------------------------
 
     def dataset_tensor(self) -> np.ndarray:
@@ -385,6 +393,10 @@ class ConcatAugPlanner(AugPlanner):
         self.tw, self.th = next(iter(scales))
         self._offsets = np.cumsum([0] + [len(p.ds) for p in self.parts])
 
+    @property
+    def separable(self) -> bool:
+        return all(p.separable for p in self.parts)
+
     def dataset_tensor(self) -> np.ndarray:
         return np.concatenate([p.dataset_tensor() for p in self.parts])
 
@@ -446,15 +458,26 @@ def _box_blur_jnp(img, k: int):
 
 
 def render_batch(data_u8, scratch, plans, tile_hw: Tuple[int, int],
-                 has_mix: bool = True):
+                 has_mix: bool = True, separable: bool = True):
     """Render a batch of plans from the HBM dataset tensor.
 
     data_u8: (N, th, tw, 3) uint8; scratch: (K, th, tw, 3) f32 0..255;
     plans: packed arrays from ``AugPlanner.plan_batch``. ``has_mix`` is a
     STATIC flag (derived from the recipe: mosaic and mixup_prob > 0) — when
     False the second render branch is skipped at trace time, halving the
-    gather cost for stage-2/plain recipes where ``jnp.where`` would
+    render cost for stage-2/plain recipes where ``jnp.where`` would
     otherwise still evaluate the inactive branch.
+
+    ``separable`` is a STATIC flag: the reference's YOLO affine recipes use
+    rotate 0 / shear 0 (``Real_Source/yolov8.py:97-98``), so the inverse map
+    is axis-aligned and the bilinear resample factorizes into per-tile
+    triangle-weight matmuls — MXU work instead of per-pixel gathers. The
+    per-pixel gather formulation was measured at 1.1 s/step of the 1.29 s
+    device-busy yolov8/bs-512 train step (8 s32 index fusions at 91 ms + 8
+    u8 pixel gathers at 48 ms — TPU gathers run on the scalar unit); the
+    matmul form computes the identical bilinear sum on the MXU. The caller
+    must pass ``separable=False`` when the recipe rotates or shears
+    (``AugPlanner.separable`` reports this).
     Returns (B, th, tw, 3) float32 in 0..1 (the train-step input format).
     """
     th, tw = tile_hw
@@ -470,6 +493,62 @@ def render_batch(data_u8, scratch, plans, tile_hw: Tuple[int, int],
     # tail flip folded as an output-coordinate remap (box blur/HSV/gray all
     # commute with a horizontal flip, so ordering is preserved)
     pcx = jnp.where(plans["flip"][:, None, None], tw - pcx, pcx)
+
+    def branch_separable(br):
+        """out[i,j] = sum_k Wy_k @ tile_k @ Wx_k^T + (1 - wsum) * PAD.
+
+        With an axis-aligned inverse map the two bilinear corner weights
+        along each axis are exactly the triangle kernel max(0, 1-|s - x|),
+        and each canvas corner is valid in at most one mosaic tile's window
+        (quadrant routing by ix>=cx coincides with the windows
+        [cx-tw, cx) / [cx, cx+tw)), so the per-tile separable sums add up to
+        the same bilinear value the gather path computes; corners outside
+        every window contribute their weight x PAD through the (1 - wsum)
+        complement."""
+        inv = plans["inv"][:, br]             # (B, 3, 3)
+        cxy = plans["center"][:, br]          # (B, 2)
+        idxs = plans["idx"][:, br]            # (B, 4)
+        mos = plans["use_mosaic"][:, br]      # (B,)
+        clip = plans["clip"][:, br]           # (B, 2)
+
+        jj = jnp.arange(tw, dtype=jnp.float32) + 0.5
+        px = jnp.where(plans["flip"][:, None], tw - jj[None, :], jj[None, :])
+        ii = jnp.arange(th, dtype=jnp.float32) + 0.5
+        sx = inv[:, 0, 0, None] * px + inv[:, 0, 2, None] - 0.5      # (B, tw)
+        sy = inv[:, 1, 1, None] * ii[None, :] + inv[:, 1, 2, None] - 0.5
+
+        kx = (jnp.arange(4) % 2).astype(jnp.float32)    # right half?
+        ky = (jnp.arange(4) // 2).astype(jnp.float32)   # bottom half?
+        ox = jnp.where(mos[:, None], cxy[:, 0:1] - tw + kx[None] * tw, 0.0)
+        oy = jnp.where(mos[:, None], cxy[:, 1:2] - th + ky[None] * th, 0.0)
+        act = jnp.where(mos[:, None], True, jnp.arange(4)[None, :] == 0)
+        cw = jnp.where(mos, 2.0 * tw, 1.0 * tw)         # canvas bounds (B,)
+        ch = jnp.where(mos, 2.0 * th, 1.0 * th)
+
+        x = jnp.arange(tw, dtype=jnp.float32)           # tile texel coords
+        y = jnp.arange(th, dtype=jnp.float32)
+        # Wx[b,k,j,x]: triangle weight, masked to active tiles and to texels
+        # whose canvas coordinate lies inside the canvas bounds (the gather
+        # path's ix in [0, 2tw) check).
+        canv_x = x[None, None, :] + ox[:, :, None]                  # (B,4,tw)
+        in_cx = (canv_x >= 0) & (canv_x < cw[:, None, None])
+        tx = sx[:, None, :, None] - ox[:, :, None, None] - x[None, None, None, :]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx))
+        wx = wx * (act[:, :, None] & in_cx)[:, :, None, :]          # (B,4,tw_j,tw_x)
+        canv_y = y[None, None, :] + oy[:, :, None]
+        in_cy = (canv_y >= 0) & (canv_y < ch[:, None, None])
+        ty = sy[:, None, :, None] - oy[:, :, None, None] - y[None, None, None, :]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty)) * in_cy[:, :, None, :]
+
+        tiles = jnp.take(data_u8, idxs.reshape(-1), axis=0).reshape(
+            b, 4, th, tw, 3).astype(jnp.float32)
+        tmp = jnp.einsum("bkiy,bkyxc->bkixc", wy, tiles)
+        val = jnp.einsum("bkjx,bkixc->bijc", wx, tmp)
+        wsum = jnp.einsum("bki,bkj->bij", wy.sum(-1), wx.sum(-1))
+        v = val + (1.0 - wsum)[..., None] * PAD_VAL
+        in_clip = ((px[:, None, :] < clip[:, 0, None, None])
+                   & (ii[None, :, None] < clip[:, 1, None, None]))  # (B,th,tw)
+        return jnp.where(in_clip[..., None], v, PAD_VAL)
 
     def branch(br):
         inv = plans["inv"][:, br]             # (B, 3, 3)
@@ -524,10 +603,11 @@ def render_batch(data_u8, scratch, plans, tile_hw: Tuple[int, int],
                    & (pcy < clip[:, 1, None, None]))
         return jnp.where(in_clip[..., None], v, PAD_VAL)
 
-    out = branch(0)
+    render = branch_separable if separable else branch
+    out = render(0)
     if has_mix:
         mix = plans["mix"][:, None, None, None]
-        out = jnp.where(mix > 0, (1 - mix) * out + mix * branch(1), out)
+        out = jnp.where(mix > 0, (1 - mix) * out + mix * render(1), out)
 
     for k in (3, 5, 7):
         sel = (plans["blur_k"] == k)[:, None, None, None]

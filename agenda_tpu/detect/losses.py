@@ -92,6 +92,10 @@ def dfl_loss(pred_dist: jax.Array, target: jax.Array, reg_max: int) -> jax.Array
     wl = tr - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ll = jnp.take_along_axis(logp, tl[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    lr = jnp.take_along_axis(logp, tr[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    # bin picks as one-hot reductions over the small last axis (vectorized
+    # multiply-reduce; take_along_axis lowers to scalar-unit gathers on TPU,
+    # measured 2 x 10 ms/step at bs 512)
+    bins = jnp.arange(pred_dist.shape[-1], dtype=pred_dist.dtype)
+    ll = jnp.sum(jnp.where(bins == tl[..., None], logp, 0.0), axis=-1)
+    lr = jnp.sum(jnp.where(bins == tr[..., None], logp, 0.0), axis=-1)
     return -(ll * wl + lr * wr)

@@ -341,6 +341,7 @@ class DetectorRunner:
             from agenda_tpu.detect.device_aug import render_batch as _render
             tile_hw = (planner.th, planner.tw)
             data_rep = replicate(data_dev, mesh)
+            separable = planner.separable
 
         def train_step(params, ema_params, batch_stats, opt_state, batch, rng,
                        step, has_mix=False):
@@ -349,7 +350,7 @@ class DetectorRunner:
                 # device-side augmentation: render the batch from the
                 # HBM-resident dataset tensor inside the compiled step
                 image = _render(batch["data"], batch["scratch"], batch,
-                                tile_hw, has_mix=has_mix)
+                                tile_hw, has_mix=has_mix, separable=separable)
                 batch = {"image": image, "gt_boxes": batch["gt_boxes"],
                          "gt_valid": batch["gt_valid"]}
 

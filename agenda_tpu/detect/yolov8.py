@@ -234,7 +234,9 @@ def yolov8_loss(
             jax.lax.stop_gradient(score_i), jax.lax.stop_gradient(pbox_i),
             points, gtb_i, gtl_i, gtv_i,
         )
-        tgt_boxes = gtb_i[agt]  # (N,4)
+        # (N,4) gt pick via one-hot matmul (MXU) instead of a gather
+        agt_onehot = jax.nn.one_hot(agt, gtb_i.shape[0], dtype=gtb_i.dtype)
+        tgt_boxes = agt_onehot @ gtb_i
         # cls targets: aligned score at the assigned class
         cls_tgt = jnp.zeros_like(cls_i).at[:, 0].set(jnp.where(fg, tsc, 0.0))
         cls_l = jnp.sum(bce_with_logits(cls_i, cls_tgt))

@@ -158,6 +158,35 @@ def test_device_render_matches_host_oracle(aug_root):
             np.testing.assert_allclose(out[i], host[i], atol=0.01)
 
 
+def test_separable_render_matches_gather(aug_root):
+    """The matmul-resample formulation computes the same bilinear sum as the
+    per-pixel gather path (identical corners/weights, different summation
+    order) — near-bitwise over random mosaic/mixup/flip plans."""
+    ds = _mix_dataset(aug_root)
+    planner = D.AugPlanner(ds)
+    assert planner.separable  # yolov8 recipe: rotate 0 / shear 0
+    rng = np.random.default_rng(11)
+    packed, scratch, _ = planner.plan_batch(
+        list(rng.integers(0, len(ds), 16)), rng, max_gt=64, scratch_slots=2)
+    data = jnp.asarray(planner.dataset_tensor())
+    jplans = {k: jnp.asarray(v) for k, v in packed.items()}
+    sep = np.asarray(D.render_batch(data, jnp.asarray(scratch), jplans,
+                                    (planner.th, planner.tw), separable=True))
+    gat = np.asarray(D.render_batch(data, jnp.asarray(scratch), jplans,
+                                    (planner.th, planner.tw), separable=False))
+    np.testing.assert_allclose(sep * 255.0, gat * 255.0, atol=2e-3)
+
+
+def test_separable_property_tracks_rotation(aug_root):
+    import dataclasses
+
+    ds = _mix_dataset(aug_root)
+    planner = D.AugPlanner(ds)
+    assert planner.separable
+    ds.aug = dataclasses.replace(ds.aug, max_rotate_degree=10.0)
+    assert not planner.separable
+
+
 def test_plan_batch_deterministic(aug_root):
     ds = _mix_dataset(aug_root)
     planner = D.AugPlanner(ds)
