@@ -136,6 +136,29 @@ def hsv_jitter_inplace(img: np.ndarray, hue_gain: float, sat_gain: float,
     return rc == 0
 
 
+def median_blur_u8(img: np.ndarray, k: int) -> Optional[np.ndarray]:
+    """uint8 median filter with a fixed odd kernel, numpy pad(mode="reflect")
+    borders — Huang sliding-histogram (the cv2::medianBlur family), ~2 ms per
+    128px tile vs ~130 ms for the strided-axis numpy median this replaces.
+    Bit-identical to np.median over the same uint8 windows (k*k odd).
+    Returns None when the native library (or an older .so without the
+    symbol) is unavailable; the caller falls back to numpy."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        fn = lib.median_blur_u8
+    except AttributeError:  # prebuilt .so predating the symbol
+        return None
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    fn.argtypes = [u8, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8]
+    fn.restype = ctypes.c_int
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty_like(img)
+    rc = fn(_u8p(img), img.shape[0], img.shape[1], int(k), _u8p(out))
+    return out if rc == 0 else None
+
+
 def load_rgb(path: str, out_size: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Read + decode (+ optional resize to (w, h)) a PNG/JPEG as uint8 RGB.
 

@@ -186,15 +186,29 @@ def box_blur_k(img: np.ndarray, k: int) -> np.ndarray:
 
 
 def median_blur_k(img: np.ndarray, k: int) -> np.ndarray:
-    """Median filter with a FIXED odd kernel, reflect borders."""
-    p = k // 2
-    padded = np.pad(img, ((p, p), (p, p), (0, 0)), mode="reflect")
-    windows = np.stack(
-        [padded[dy : dy + img.shape[0], dx : dx + img.shape[1]]
-         for dy in range(k) for dx in range(k)],
-        axis=0,
-    )
-    return np.median(windows, axis=0).astype(np.float32)
+    """Median filter with a FIXED odd kernel, reflect borders, in uint8.
+
+    The reference's Albu MedianBlur runs cv2.medianBlur on the *uint8*
+    image (mm pipelines apply Albu before normalization), so the median is
+    taken over quantized values — this quantizes the f32 working image the
+    same way, medians in uint8 (native Huang sliding-histogram kernel,
+    ``native/image_ops.cc:median_blur_u8``, ~60x the old strided-axis
+    float median on this host; numpy fallback below is the oracle), and
+    returns f32."""
+    from agenda_tpu.data import native_image
+
+    q = np.clip(np.rint(np.asarray(img, np.float32)), 0, 255).astype(np.uint8)
+    out = native_image.median_blur_u8(q, k)
+    if out is None:
+        p = k // 2
+        padded = np.pad(q, ((p, p), (p, p), (0, 0)), mode="reflect")
+        windows = np.stack(
+            [padded[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+             for dy in range(k) for dx in range(k)],
+            axis=0,
+        )
+        out = np.median(windows, axis=0)
+    return out.astype(np.float32)
 
 
 def blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -291,7 +305,7 @@ def random_affine(
                       scaling_ratio_range=scaling_ratio_range,
                       max_translate_ratio=max_translate_ratio)
 
-    inv = np.linalg.inv(m)
+    inv = affine_inverse(m)
     pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
     warped = pil.transform(
         (out_w, out_h), Image.AFFINE,
@@ -317,15 +331,32 @@ def affine_matrix(rng, in_size, out_size, max_rotate_degree=0.0,
     tx = rng.uniform(-max_translate_ratio, max_translate_ratio) * out_w
     ty = rng.uniform(-max_translate_ratio, max_translate_ratio) * out_h
 
-    def mat(a, b, c, d, e, f):
-        return np.array([[a, b, c], [d, e, f], [0, 0, 1]], np.float64)
+    # Closed-form center_out @ sh @ rot @ sc @ center_in (the five-matmul
+    # chain costs ~0.2 ms/call in numpy machinery — this runs ~10k times per
+    # device-aug 512-batch across mosaic+mixup branches).
+    ct, st = math.cos(theta) * scale, math.sin(theta) * scale
+    b00, b01 = ct + shear_x * st, -st + shear_x * ct
+    b10, b11 = shear_y * ct + st, -shear_y * st + ct
+    cx_i, cy_i = in_w / 2.0, in_h / 2.0
+    ox, oy = out_w / 2.0 + tx, out_h / 2.0 + ty
+    return np.array([
+        [b00, b01, -b00 * cx_i - b01 * cy_i + ox],
+        [b10, b11, -b10 * cx_i - b11 * cy_i + oy],
+        [0.0, 0.0, 1.0],
+    ], np.float64)  # input -> output
 
-    center_in = mat(1, 0, -in_w / 2.0, 0, 1, -in_h / 2.0)
-    rot = mat(math.cos(theta), -math.sin(theta), 0, math.sin(theta), math.cos(theta), 0)
-    sc = mat(scale, 0, 0, 0, scale, 0)
-    sh = mat(1, shear_x, 0, shear_y, 1, 0)
-    center_out = mat(1, 0, out_w / 2.0 + tx, 0, 1, out_h / 2.0 + ty)
-    return center_out @ sh @ rot @ sc @ center_in  # input -> output
+
+def affine_inverse(m: np.ndarray) -> np.ndarray:
+    """Closed-form inverse of a 2D affine [[a,b,c],[d,e,f],[0,0,1]]
+    (np.linalg.inv costs ~60 us of LAPACK dispatch per 3x3)."""
+    a, b, c = float(m[0, 0]), float(m[0, 1]), float(m[0, 2])
+    d, e, f = float(m[1, 0]), float(m[1, 1]), float(m[1, 2])
+    det = a * e - b * d
+    return np.array([
+        [e / det, -b / det, (b * f - c * e) / det],
+        [-d / det, a / det, (c * d - a * f) / det],
+        [0.0, 0.0, 1.0],
+    ], np.float64)
 
 
 def affine_boxes(boxes: np.ndarray, m: np.ndarray, out_size,
@@ -339,12 +370,12 @@ def affine_boxes(boxes: np.ndarray, m: np.ndarray, out_size,
     corners = np.stack([
         boxes[:, [0, 1]], boxes[:, [2, 1]], boxes[:, [0, 3]], boxes[:, [2, 3]]
     ], axis=1)  # (N, 4, 2)
-    ones = np.ones((*corners.shape[:2], 1), np.float64)
-    proj = np.concatenate([corners, ones], axis=-1) @ m.T
-    pts = proj[..., :2]
+    # homogeneous row [x, y, 1] @ m.T == [x, y] @ m[:2,:2].T + m[:2,2] —
+    # same accumulation order, without materializing the ones column
+    pts = corners @ m[:2, :2].T + m[:2, 2]
     new = np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=-1).astype(np.float32)
-    new[:, 0::2] = new[:, 0::2].clip(0, out_w)
-    new[:, 1::2] = new[:, 1::2].clip(0, out_h)
+    new = new.clip(np.zeros(4, np.float32),
+                   np.array([out_w, out_h, out_w, out_h], np.float32))
     w = new[:, 2] - new[:, 0]
     h = new[:, 3] - new[:, 1]
     ar = np.maximum(w / np.maximum(h, 1e-6), h / np.maximum(w, 1e-6))
@@ -408,8 +439,8 @@ def mosaic_region_boxes(boxes: np.ndarray, region, src_offset) -> np.ndarray:
     x1, y1, x2, y2 = region
     sx, sy = src_offset
     b = boxes + np.array([x1 - sx, y1 - sy, x1 - sx, y1 - sy], np.float32)
-    b[:, 0::2] = b[:, 0::2].clip(x1, x2)
-    b[:, 1::2] = b[:, 1::2].clip(y1, y2)
+    b = b.clip(np.array([x1, y1, x1, y1], np.float32),
+               np.array([x2, y2, x2, y2], np.float32))
     ok = (b[:, 2] - b[:, 0] > 1) & (b[:, 3] - b[:, 1] > 1)
     return b[ok]
 

@@ -112,6 +112,21 @@ class CocoDetDataset:
             boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
         return img, boxes
 
+    def scaled_boxes(self, index: int) -> np.ndarray:
+        """Boxes at img_scale WITHOUT materializing the f32 image copy.
+
+        The device-aug planner reads 4-8 tiles' boxes per sample
+        (mosaic + mixup); going through ``_load_scaled`` would pay a
+        ~200 KB uint8->f32 image conversion per read — ~250 ms per
+        512-batch of pure waste on the plan-building critical path."""
+        if self._scaled_cache is not None:
+            hit = self._scaled_cache.get(index)
+            if hit is None:
+                self._load_scaled(index)  # fills the cache
+                hit = self._scaled_cache[index]
+            return hit[1].copy()
+        return self._load_scaled(index)[1]
+
     def _load_scaled(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         if self._scaled_cache is not None:
             hit = self._scaled_cache.get(index)

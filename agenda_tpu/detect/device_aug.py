@@ -41,12 +41,12 @@ import numpy as np
 
 from agenda_tpu.detect.augment import (
     PAD_VAL,
+    affine_inverse,
     _odd_kernel,
     affine_boxes,
     affine_matrix,
     flip_horizontal,
     mixup_boxes,
-    mosaic_region_boxes,
     mosaic_regions,
 )
 
@@ -119,8 +119,7 @@ class AugPlanner:
         return out
 
     def _tile_boxes(self, index: int) -> np.ndarray:
-        _, boxes = self.ds._load_scaled(index)
-        return boxes
+        return self.ds.scaled_boxes(index)
 
     def _load_scaled_global(self, index: int):
         """Tile lookup in DEVICE-TENSOR index space (== dataset space here;
@@ -139,18 +138,34 @@ class AugPlanner:
         cy = int(rng.uniform(0.5 * th, 1.5 * th))
         idxs = [index] + [int(rng.integers(len(self.ds))) for _ in range(3)]
         regions, anchors = mosaic_regions(cx, cy, tw, th)
-        parts = []
+        # Batched equivalent of per-tile mosaic_region_boxes (the per-tile
+        # helper's ~6 small-array numpy calls x 4 tiles dominate plan time on
+        # this host): same elementwise f32 shift/clip/sliver-filter, applied
+        # once over the concatenated tiles — values and order bit-identical.
+        parts, shift_rows, lo_rows, hi_rows, counts = [], [], [], [], []
         for k, ((x1, y1, x2, y2), (ax, ay)) in enumerate(zip(regions, anchors)):
             rw, rh = x2 - x1, y2 - y1
             if rw <= 0 or rh <= 0:
                 continue
             sx = tw - rw if ax else 0
             sy = th - rh if ay else 0
-            b = mosaic_region_boxes(self._tile_boxes(idxs[k]),
-                                    (x1, y1, x2, y2), (sx, sy))
-            if len(b):
-                parts.append(b)
-        boxes = np.concatenate(parts) if parts else np.zeros((0, 4), np.float32)
+            tb = self._tile_boxes(idxs[k])
+            if not len(tb):
+                continue
+            parts.append(tb)
+            counts.append(len(tb))
+            shift_rows.append((x1 - sx, y1 - sy, x1 - sx, y1 - sy))
+            lo_rows.append((x1, y1, x1, y1))
+            hi_rows.append((x2, y2, x2, y2))
+        if parts:
+            b = np.concatenate(parts) + np.repeat(
+                np.array(shift_rows, np.float32), counts, axis=0)
+            b = b.clip(np.repeat(np.array(lo_rows, np.float32), counts, axis=0),
+                       np.repeat(np.array(hi_rows, np.float32), counts, axis=0))
+            ok = (b[:, 2] - b[:, 0] > 1) & (b[:, 3] - b[:, 1] > 1)
+            boxes = b[ok]
+        else:
+            boxes = np.zeros((0, 4), np.float32)
         m = affine_matrix(rng, (2 * tw, 2 * th), (tw, th),
                           max_rotate_degree=a.max_rotate_degree,
                           max_shear_degree=a.max_shear_degree,
@@ -160,7 +175,7 @@ class AugPlanner:
         boxes = affine_boxes(boxes, m, (tw, th),
                              max_aspect_ratio=max_aspect_ratio)
         br = Branch(np.array(idxs, np.int32), (cx, cy),
-                    np.linalg.inv(m).astype(np.float32), True,
+                    affine_inverse(m).astype(np.float32), True,
                     (float(tw), float(th)))
         return br, boxes
 
@@ -176,7 +191,7 @@ class AugPlanner:
         boxes = affine_boxes(self._tile_boxes(index), m, (tw, th),
                              max_aspect_ratio=100.0)
         br = Branch(np.array([index] * 4, np.int32), (0, 0),
-                    np.linalg.inv(m).astype(np.float32), False,
+                    affine_inverse(m).astype(np.float32), False,
                     (float(tw), float(th)))
         return br, boxes
 

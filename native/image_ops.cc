@@ -359,4 +359,59 @@ int hsv_jitter_f32(float* img, int64_t n, float hue_gain, float sat_gain,
   return 0;
 }
 
+// Median filter on a uint8 image — Huang sliding-histogram algorithm
+// (the same family cv2::medianBlur uses), reflect-without-edge borders
+// (numpy pad mode="reflect" == cv2 BORDER_REFLECT_101). The reference's
+// Albu MedianBlur runs cv2 on the uint8 image, so uint8-median IS the
+// reference semantics; a per-pixel float nth_element measured ~70-130 ms
+// per 128px tile on the single-core build host vs ~2 ms here, and it
+// dominated the device-aug passthrough slab (STATUS round-3 notes).
+// img, out: (h, w, 3) uint8, distinct buffers. k odd, k <= 63.
+int median_blur_u8(const uint8_t* img, int h, int w, int k, uint8_t* out) {
+  if (k < 1 || (k & 1) == 0 || k > 63 || h < 1 || w < 1) return -1;
+  const int p = k / 2;
+  const int kk = k * k;
+  const int target = kk / 2 + 1;  // smallest v with cum count >= target
+  std::vector<int> ry(h + 2 * p), rx(w + 2 * p);
+  auto reflect = [](int i, int n) {
+    if (n == 1) return 0;
+    while (i < 0 || i >= n) {
+      if (i < 0) i = -i;
+      if (i >= n) i = 2 * n - 2 - i;
+    }
+    return i;
+  };
+  for (int y = 0; y < h + 2 * p; ++y) ry[y] = reflect(y - p, h);
+  for (int x = 0; x < w + 2 * p; ++x) rx[x] = reflect(x - p, w);
+  for (int c = 0; c < 3; ++c) {
+    for (int y = 0; y < h; ++y) {
+      int hist[256] = {0};
+      // window for x = 0
+      for (int dy = 0; dy < k; ++dy) {
+        const uint8_t* row = img + static_cast<size_t>(ry[y + dy]) * w * 3;
+        for (int dx = 0; dx < k; ++dx) ++hist[row[rx[dx] * 3 + c]];
+      }
+      int med = 0, lt = 0;  // lt = count of window pixels < med
+      while (lt + hist[med] < target) lt += hist[med++];
+      out[(static_cast<size_t>(y) * w) * 3 + c] = static_cast<uint8_t>(med);
+      for (int x = 1; x < w; ++x) {
+        const int xo = rx[x - 1], xi = rx[x + k - 1];
+        for (int dy = 0; dy < k; ++dy) {
+          const uint8_t* row = img + static_cast<size_t>(ry[y + dy]) * w * 3;
+          const uint8_t vo = row[xo * 3 + c], vi = row[xi * 3 + c];
+          --hist[vo];
+          if (vo < med) --lt;
+          ++hist[vi];
+          if (vi < med) ++lt;
+        }
+        while (lt >= target) lt -= hist[--med];
+        while (lt + hist[med] < target) lt += hist[med++];
+        out[(static_cast<size_t>(y) * w + x) * 3 + c] =
+            static_cast<uint8_t>(med);
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

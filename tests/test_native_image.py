@@ -219,3 +219,52 @@ def test_scaled_cache_hit_is_identical(tmp_path):
         np.testing.assert_array_equal(boxes1, boxes4)
     finally:
         del os.environ["AGENDA_TPU_IMG_CACHE_MB"]
+
+
+def test_median_blur_u8_matches_numpy_windows():
+    """Huang sliding-histogram median (native/image_ops.cc:median_blur_u8)
+    vs the np.median-over-windows oracle, bit-exact (k*k odd -> the median
+    is the sorted middle element, which the cum-count >= mid+1 histogram
+    scan also returns)."""
+    import agenda_tpu.data.native_image as ni
+
+    if not ni.available():
+        pytest.skip("native image library unavailable")
+    rng = np.random.default_rng(3)
+    for k in (3, 5, 7, 9):
+        for hw in ((33, 41), (7, 5), (1, 1), (1, 9), (9, 1), (16, 16)):
+            q = rng.integers(0, 256, (hw[0], hw[1], 3)).astype(np.uint8)
+            p = k // 2
+            padded = np.pad(q, ((p, p), (p, p), (0, 0)), mode="reflect")
+            windows = np.stack(
+                [padded[dy:dy + q.shape[0], dx:dx + q.shape[1]]
+                 for dy in range(k) for dx in range(k)], axis=0)
+            ref = np.median(windows, axis=0)
+            got = ni.median_blur_u8(q, k)
+            assert got is not None
+            np.testing.assert_array_equal(got.astype(np.float64), ref, err_msg=f"k={k} hw={hw}")
+
+
+def test_median_blur_k_uint8_semantics_and_fallback_parity():
+    """augment.median_blur_k quantizes to uint8 first (the reference's Albu
+    MedianBlur runs cv2 on the uint8 image — reference semantics), and the
+    native and numpy-fallback paths agree bit-for-bit."""
+    import agenda_tpu.data.native_image as ni
+    from agenda_tpu.detect import augment as A
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    for k in (3, 5, 7):
+        out = A.median_blur_k(img, k)
+        assert out.dtype == np.float32
+        # output values are quantized medians
+        assert np.array_equal(out, np.rint(out))
+        if ni.available():
+            os.environ["AGENDA_TPU_NO_NATIVE"] = "1"
+            ni._load.cache_clear()
+            try:
+                fallback = A.median_blur_k(img, k)
+            finally:
+                del os.environ["AGENDA_TPU_NO_NATIVE"]
+                ni._load.cache_clear()
+            np.testing.assert_array_equal(out, fallback, err_msg=f"k={k}")
