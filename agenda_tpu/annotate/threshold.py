@@ -63,6 +63,37 @@ def match_predictions(
     return np.concatenate(all_scores), np.concatenate(all_tp), n_gt
 
 
+def prediction_ious(records: List[dict]) -> np.ndarray:
+    """Best IoU vs any same-image GT per prediction, aligned with
+    :func:`match_predictions`'s flattened ordering (per-image score-desc).
+
+    The notebook records each prediction's GT IoU for the distribution
+    scatter (VisualizeTestResults.ipynb cell 20); images without GT yield
+    IoU 0 for their predictions.
+    """
+    out = []
+    for rec in records:
+        gt = rec.get("gt_instances") or {"bboxes": np.zeros((0, 4))}
+        pred = rec.get("pred_instances") or {
+            "bboxes": np.zeros((0, 4)),
+            "scores": np.zeros((0,)),
+        }
+        gt_boxes = np.asarray(gt["bboxes"], np.float64).reshape(-1, 4)
+        boxes = np.asarray(pred["bboxes"], np.float64).reshape(-1, 4)
+        scores = np.asarray(pred["scores"], np.float64).reshape(-1)
+        if len(boxes) == 0:
+            continue
+        order = np.argsort(-scores, kind="stable")
+        boxes = boxes[order]
+        if len(gt_boxes) == 0:
+            out.append(np.zeros(len(boxes)))
+            continue
+        out.append(iou_matrix_xyxy(gt_boxes, boxes).max(axis=0))
+    if not out:
+        return np.zeros((0,))
+    return np.concatenate(out)
+
+
 def pr_f1_table(
     scores: np.ndarray, is_tp: np.ndarray, n_gt: int
 ) -> Dict[str, np.ndarray]:

@@ -70,9 +70,9 @@ def _render_plots(path, table, result, records, iou_thresh):
     import matplotlib.pyplot as plt
     import numpy as np
 
-    from agenda_tpu.annotate.threshold import match_predictions
+    from agenda_tpu.annotate.threshold import match_predictions, prediction_ious
 
-    fig, axes = plt.subplots(1, 3, figsize=(15, 4.2))
+    fig, axes = plt.subplots(1, 4, figsize=(20, 4.2))
 
     ax = axes[0]
     ax.plot(table["recall"], table["precision"], lw=1.5)
@@ -105,6 +105,24 @@ def _render_plots(path, table, result, records, iou_thresh):
     ax.scatter(idx, fns, s=8, label="FN", color="#1f77b4", marker="^")
     ax.set_xlabel("image index"), ax.set_title("per-image TP/FP/FN @ thr")
     ax.legend(fontsize=8), ax.grid(alpha=0.3)
+
+    # score-vs-GT-IoU distribution of ALL predictions (notebook cell 20):
+    # TPs green, non-matched magenta, threshold + IoU-gate crosshairs.
+    ax = axes[3]
+    scores_all, is_tp_all, _ = match_predictions(records, iou_thresh)
+    ious_all = prediction_ious(records)
+    ax.scatter(scores_all[is_tp_all], ious_all[is_tp_all], s=6, alpha=0.35,
+               edgecolor="none", color="#2a9d3a",
+               label=f"Positive ({int(is_tp_all.sum()):,d})")
+    ax.scatter(scores_all[~is_tp_all], ious_all[~is_tp_all], s=6, alpha=0.35,
+               edgecolor="none", color="magenta",
+               label=f"Negative ({int((~is_tp_all).sum()):,d})")
+    ax.axvline(result["threshold"], color="k", ls="--", lw=1)
+    ax.axhline(iou_thresh, color="k", ls="--", lw=1)
+    ax.set_xlabel("confidence score"), ax.set_ylabel("GT IoU")
+    ax.set_xlim(-0.05, 1.05), ax.set_ylim(-0.05, 1.05)
+    ax.set_title("predictions distribution")
+    ax.legend(fontsize=8, title="Prediction Type"), ax.grid(alpha=0.3)
 
     fig.tight_layout()
     fig.savefig(path, dpi=110)

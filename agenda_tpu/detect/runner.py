@@ -76,9 +76,9 @@ class RunnerConfig:
     val_interval_stage2: Optional[int] = None
     # -- device-side augmentation (detect/device_aug.py): dataset tensor in
     # HBM, host builds plans (random draws + exact box math), the chip
-    # renders mosaic/affine/mixup/hsv/flip inside the train step. Falls back
-    # to the host pipeline when the recipe/dataset isn't supported (LSJ,
-    # concat datasets, cache disabled).
+    # renders mosaic/affine/mixup/hsv/flip inside the train step. Concat
+    # datasets route through ConcatAugPlanner; the fallback to the host
+    # pipeline remains only for the LSJ recipe and cache-disabled datasets.
     device_aug: bool = False
 
 

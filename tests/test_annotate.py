@@ -258,6 +258,29 @@ def test_macro_f1():
     assert abs(macro_f1_binary(preds, labels) - 0.8) < 1e-9
 
 
+def test_prediction_ious_alignment():
+    """prediction_ious aligns with match_predictions' flattened per-image
+    score-desc ordering and reports best IoU vs any same-image GT
+    (VisualizeTestResults.ipynb cell 20's IoU column)."""
+    from agenda_tpu.annotate.boxes import iou_matrix_xyxy
+    from agenda_tpu.annotate.threshold import prediction_ious
+
+    records = make_records()
+    scores, is_tp, _ = match_predictions(records)
+    ious = prediction_ious(records)
+    assert ious.shape == scores.shape
+    # every matched TP clears the gate; the 0.8-score FP box overlaps no GT
+    assert (ious[is_tp] >= 0.5).all()
+    exp0 = iou_matrix_xyxy(
+        records[0]["gt_instances"]["bboxes"].astype(float),
+        records[0]["pred_instances"]["bboxes"].astype(float),
+    ).max(axis=0)
+    np.testing.assert_allclose(ious[:3], exp0)  # img0 already score-desc
+    assert ious[1] < 0.5  # the [0,0,20,20] FP sits under the IoU gate
+    # exact-match pred in img1
+    assert abs(ious[3] - 1.0) < 1e-12
+
+
 def test_select_threshold_cli_plot(tmp_path):
     """--plot renders the notebook analysis figures headlessly
     (VisualizeTestResults.ipynb cells 18-32)."""
