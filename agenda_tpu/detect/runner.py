@@ -554,6 +554,25 @@ class DetectorRunner:
         records = []
         n = len(dataset)
 
+        # Multi-chip labeling: shard the image batch over the dp mesh and
+        # replicate the weights — XLA compiles one SPMD predict program and
+        # a 10k-image labeling pass scales with the slice (the reference
+        # shards tools/test.py over GPUs with mmengine's dist launcher).
+        mesh = None
+        if jax.device_count() > 1 and bs % jax.device_count() == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from agenda_tpu.parallel.mesh import make_mesh, replicate
+
+            mesh = make_mesh()
+            variables = replicate(variables, mesh)
+            img_sharding = NamedSharding(mesh, P("dp"))
+
+        def put_images(images):
+            if mesh is not None:
+                return jax.device_put(images, img_sharding)
+            return jnp.asarray(images)
+
         # Eval-time device resize: uniform source tiles -> the host only
         # decodes uint8 and the resize to img_scale rides the predict
         # program as two filter matmuls (data/device_resize.py). A 10k-image
@@ -594,11 +613,11 @@ class DetectorRunner:
                 pad = bs - len(items)
                 images = np.stack([it["image_u8"] for it in items]
                                   + [items[-1]["image_u8"]] * pad)
-                return items, predict_u8(variables, jnp.asarray(images))
+                return items, predict_u8(variables, put_images(images))
             items = [dataset[j] for j in range(i, min(i + bs, n))]
             pad = bs - len(items)
             images = np.stack([it["image"] for it in items] + [items[-1]["image"]] * pad)
-            return items, predict(variables, jnp.asarray(images))
+            return items, predict(variables, put_images(images))
 
         def collect(pending):
             items, (boxes, scores, valid) = pending
@@ -631,9 +650,10 @@ class DetectorRunner:
         return coco_map(gts, [r["boxes"] for r in recs], [r["scores"] for r in recs])
 
     def test(self, variables, dataset, out_pkl: Optional[str] = None,
-             img_dir: Optional[str] = None) -> List[dict]:
+             img_dir: Optional[str] = None,
+             batch_size: Optional[int] = None) -> List[dict]:
         """Produce prediction records (== mmdet tools/test.py --out)."""
-        recs = self._predict_batches(variables, dataset)
+        recs = self._predict_batches(variables, dataset, batch_size=batch_size)
         out = []
         for r in recs:
             it = r["item"]

@@ -122,3 +122,42 @@ def make_tiny_pipeline_dir(out_dir: str, seed: int = 0):
         tokenizer_dir=tok_dir,
     )
     return unet_cfg, vae_cfg, clip_cfg
+
+
+def make_tiny_coco_det_dir(root: str, n_images: int = 16, size: int = 112,
+                           seed: int = 0) -> str:
+    """Tiny COCO detection fixture: n_images PNGs with red squares on noise
+    plus a reference-convention ann.json (1 category 'small', 42.36-px
+    boxes — Data/README.md box recipe). Returns the annotation filename.
+
+    Used by dryrun_multichip's detector sub-runs; mirrors the shape of the
+    LINZ/UGRC tiles the reference detectors consume
+    (data_annotation/configs/Real_Source/faster-rcnn.py:11-19).
+    """
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations = [], []
+    aid = 1
+    for i in range(n_images):
+        img = rng.randint(0, 80, (size, size, 3)).astype(np.uint8)
+        for _ in range(rng.randint(1, 3)):
+            box = 20
+            x, y = rng.randint(0, size - box, 2)
+            img[y:y + box, x:x + box] = [220, 40, 40]
+            cx, cy = x + box / 2.0, y + box / 2.0
+            annotations.append({
+                "id": aid, "image_id": i, "category_id": 1,
+                "bbox": [cx - 21.18, cy - 21.18, 42.36, 42.36],
+                "area": 42.36 ** 2, "iscrowd": 0,
+            })
+            aid += 1
+        Image.fromarray(img).save(os.path.join(img_dir, f"{i}.png"))
+        images.append({"id": i, "file_name": f"{i}.png",
+                       "width": size, "height": size})
+    with open(os.path.join(root, "ann.json"), "w") as f:
+        json.dump({"categories": [{"id": 1, "name": "small"}],
+                   "images": images, "annotations": annotations}, f)
+    return "ann.json"

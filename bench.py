@@ -1,12 +1,26 @@
-"""Headline benchmark: 512x512 SD images/sec/chip WITH DAAM heatmaps on.
+"""Headline benchmark: 512x512 SD images+PSEUDO-LABELS/sec/chip.
 
-Runs the flagship generation path (full SD-1.x UNet, 20 PLMS steps, CFG,
-fused per-token heatmap accumulation, VAE decode) on one chip with random
-weights (throughput is weight-independent) and reports steady-state
-images/sec/chip.
+Runs the full production chain on one chip — the north-star metric is
+"10,000 512-px images/hour WITH heatmaps + pseudo-labels" (BASELINE.md:47),
+so the headline composes every stage, not just generation:
+
+  1. generate: full SD-1.x UNet, 20 PLMS steps, CFG, fused per-token DAAM
+     heatmap accumulation, VAE decode, on-device 512->112 resize
+     (data_generation/data_generation.py:56-86);
+  2. stack: 3 per-word heatmaps -> RGB heatmap image, R=object G=fg
+     B=inverted-bg (postprocess_heatmap.py:36-50);
+  3. label: yolov8 predict on the 112-px stacks at the detector's 128-px
+     img_scale with the on-device u8 resize (mmdet tools/test.py role);
+  4. pseudo-COCO: score filter + edge completion + fake 42.36-px boxes
+     (ConvertPredToCOCOPseudoAnnotations.ipynb cells 4-7).
+
+Random weights throughout (throughput is weight-independent). Stages 1+3
+run pipelined exactly like the production CLIs (one batch in flight).
 
 Baseline (BASELINE.json north star): 10,000 images/hour on a v5e-8
 => 0.3472 images/sec/chip. vs_baseline = ours / 0.3472.
+
+BENCH_GEN_ONLY=1 reverts to the round-3 generation-only metric.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -111,39 +125,130 @@ def main():
     )
 
     prompt = "an aerial view image with cars in utah"
-    # Production path: per-word uint8 heatmaps computed on device (the
-    # data_generation CLI flow).
-    words = ["cars", "utah"]
+    # Production heatmap set: object word + fg token + bg token (the stack
+    # postprocessor consumes exactly 3 maps, postprocess_heatmap.py:44-46).
+    words = ["cars", "aerial", "utah"]
     out_size = int(os.environ.get("BENCH_OUT", "112"))  # production artifact size
-    # Warmup (compile)
+    gen_only = bool(int(os.environ.get("BENCH_GEN_ONLY", "0")))
+
+    # -- stage 3 setup: yolov8 labeler at the reference geometry (128-px
+    # img_scale over 112-px stacks — Synthetic_Heatmap/yolov8.py) with the
+    # runner's on-device u8 resize (detect/runner.py predict_u8).
+    if not gen_only:
+        from agenda_tpu.data.device_resize import resize_weights
+        from agenda_tpu.detect.families import build_family
+
+        fam = build_family("yolov8", model=dict(img_size=128, max_gt=64))
+        det_vars = fam.init_variables(jax.random.key(7))
+        w112 = jnp.asarray(resize_weights(out_size, 128, "bilinear"))
+
+        @jax.jit
+        def label_u8(variables, u8):
+            x = u8.astype(jnp.float32)
+            x = jnp.einsum("Ww,bhwc->bhWc", w112, x)
+            x = jnp.einsum("Hh,bhwc->bHwc", w112, x)
+            x = jnp.round(jnp.clip(x, 0.0, 255.0)) / 255.0
+            return fam.predict_fn(variables, x)
+
+    from PIL import Image
+
+    def stack_maps(word_maps, j):
+        # postprocess_heatmap.py: R=object map, G=fg map, B=255-bg map,
+        # each 64->112 via PIL like the generation CLI's heatmap writer.
+        chans = []
+        for wi, word in enumerate(words):
+            m = np.asarray(Image.fromarray(word_maps[word][j]).resize(
+                (out_size, out_size)))
+            chans.append(255 - m if wi == 2 else m)
+        return np.stack(chans, axis=-1).astype(np.uint8)
+
+    # Warmup (compile): generation + labeling programs.
     t0 = time.time()
-    pipe(prompt, seeds=list(range(batch)), num_inference_steps=steps, words=words,
-         out_size=out_size, tgate_step=tgate)
+    _imgs, _maps = pipe(prompt, seeds=list(range(batch)), num_inference_steps=steps,
+                        words=words, out_size=out_size, tgate_step=tgate)
+    if not gen_only:
+        _stk = np.stack([stack_maps(_maps, j) for j in range(batch)])
+        jax.block_until_ready(label_u8(det_vars, jnp.asarray(_stk)))
     compile_s = time.time() - t0
 
     # Steady-state pipelined throughput — the production loop shape
     # (cli/data_generation keeps one batch in flight via generate_async so
-    # host materialization/PNG work overlaps device compute). Blocking after
-    # every batch instead would bill the device->host transfer + dispatch
-    # latency of this tunneled backend to every batch; the same effect
-    # measured on the train step was ~15% (STATUS round-3 notes).
-    pending = None
+    # host materialization/PNG work overlaps device compute; labeling for
+    # batch i dispatches while batch i+1 generates). Blocking after every
+    # batch instead would bill the device->host transfer + dispatch latency
+    # of this tunneled backend to every batch; the same effect measured on
+    # the train step was ~15% (STATUS round-3 notes).
+    pending = None          # generation thunk for the in-flight batch
+    pending_label = None    # labeling futures for the previous batch
+    records = []
+    stage = {"gen_wait": 0.0, "stack_host": 0.0, "label_wait": 0.0,
+             "pseudo_coco": 0.0}
     times = []
+
+    def collect_label(fut):
+        t = time.time()
+        boxes, scores, valid = jax.device_get(fut)
+        stage["label_wait"] += time.time() - t
+        sb = out_size / 128.0  # scale detector coords back to 112 px
+        for k in range(len(boxes)):
+            keep = valid[k] & (scores[k] > 0.05)
+            records.append({
+                "img_path": f"/bench/{len(records)}.png",
+                "pred_instances": {
+                    "bboxes": boxes[k][keep] * sb,
+                    "scores": scores[k][keep],
+                    "labels": np.zeros(int(keep.sum()), np.int64),
+                },
+            })
+
     t0 = time.time()
     for r in range(repeats):
         cur = pipe.generate_async(prompt, seeds=list(range(r, r + batch)),
                                   num_inference_steps=steps, words=words,
                                   out_size=out_size, tgate_step=tgate)
         if pending is not None:
-            pending()
+            t = time.time()
+            imgs, wmaps = pending()
+            stage["gen_wait"] += time.time() - t
+            if not gen_only:
+                t = time.time()
+                stacks = np.stack([stack_maps(wmaps, j) for j in range(batch)])
+                stage["stack_host"] += time.time() - t
+                fut = label_u8(det_vars, jnp.asarray(stacks))
+                if pending_label is not None:
+                    collect_label(pending_label)
+                pending_label = fut
             times.append(time.time() - t0 - sum(times))
         pending = cur
-    pending()
+    t = time.time()
+    imgs, wmaps = pending()
+    stage["gen_wait"] += time.time() - t
+    if not gen_only:
+        t = time.time()
+        stacks = np.stack([stack_maps(wmaps, j) for j in range(batch)])
+        stage["stack_host"] += time.time() - t
+        if pending_label is not None:
+            collect_label(pending_label)
+        collect_label(label_u8(det_vars, jnp.asarray(stacks)))
+        # stage 4: threshold filter + edge completion + pseudo-COCO build
+        # (the F1-max threshold itself comes from the real-source analysis
+        # pass in production; applying it here is the per-image cost).
+        t = time.time()
+        from agenda_tpu.annotate.coco import predictions_to_pseudo_coco
+
+        coco = predictions_to_pseudo_coco(records, 0.3, 42.36,
+                                          (out_size, out_size))
+        stage["pseudo_coco"] += time.time() - t
+        assert len(coco["images"]) == batch * repeats
     times.append(time.time() - t0 - sum(times))
     total = time.time() - t0
     img_per_sec = batch * repeats / total
 
-    metric = "512px SD images/sec/chip with DAAM heatmaps (20-step PLMS, CFG)"
+    if gen_only:
+        metric = "512px SD images/sec/chip with DAAM heatmaps (20-step PLMS, CFG)"
+    else:
+        metric = ("512px SD images+pseudo-labels/sec/chip (20-step PLMS gen "
+                  "+ DAAM heatmaps + stack + yolov8 labeling + pseudo-COCO)")
     if tgate:
         metric += f" [TGATE gate={tgate} — approximate, not the headline]"
     result = {
@@ -163,6 +268,16 @@ def main():
         f"times={['%.2f' % t for t in times]}",
         file=sys.stderr,
     )
+    if not gen_only:
+        n = batch * repeats
+        print(
+            "# stage breakdown (wall, pipelined): "
+            + " ".join(f"{k}={v:.3f}s" for k, v in stage.items())
+            + f" | {len(records)} records, {len(coco['annotations'])} pseudo boxes"
+            + f" | composed {img_per_sec:.3f} img+label/s vs gen-blocked-only "
+              f"{n / max(stage['gen_wait'], 1e-9):.3f}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

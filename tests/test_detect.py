@@ -406,3 +406,36 @@ def test_config_aug_flip_prob_not_clobbered(tmp_path):
     cfg.to_json(p)
     loaded = DetectionConfig.from_json(p)
     assert loaded.build_train_dataset().aug.flip_prob == 0.0
+
+
+def test_sharded_labeling_matches_unsharded(tmp_path):
+    """_predict_batches shards the image batch over the dp mesh when the
+    batch size divides the device count (the multi-chip labeling path,
+    mmdet dist tools/test.py role); records must be identical to the
+    single-device path."""
+    import jax
+
+    from agenda_tpu.detect.dataset import CocoDetDataset
+    from agenda_tpu.detect.families import build_family
+    from agenda_tpu.detect.runner import DetectorRunner, RunnerConfig
+
+    root = str(tmp_path)
+    _make_square_dataset(root, n_images=9)
+    ds = CocoDetDataset(root, "ann.json", img_scale=(64, 64), max_gt=8,
+                        train=False)
+    fam = build_family("yolov8", model=dict(img_size=64, max_gt=8))
+    variables = fam.init_variables(jax.random.key(0))
+    runner = DetectorRunner(fam, RunnerConfig(output_dir=os.path.join(root, "w")))
+
+    ndev = jax.device_count()
+    assert ndev > 1, "suite runs on the forced 8-device CPU mesh"
+    sharded = runner.test(variables, ds, batch_size=ndev)
+    plain = runner.test(variables, ds, batch_size=3)  # 3 % 8 != 0 -> no mesh
+    assert len(sharded) == len(plain) == 9
+    for a, b in zip(sharded, plain):
+        np.testing.assert_allclose(a["pred_instances"]["bboxes"],
+                                   b["pred_instances"]["bboxes"],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(a["pred_instances"]["scores"],
+                                   b["pred_instances"]["scores"],
+                                   rtol=1e-5, atol=1e-5)
