@@ -495,6 +495,49 @@ def mixup_boxes(boxes2: np.ndarray, scale: float, nw: int, flipped: bool,
     return b2[ok]
 
 
+def lsj_params(
+    rng: np.random.Generator,
+    in_hw: Tuple[int, int],
+    out_size: Tuple[int, int],
+    ratio_range: Tuple[float, float] = (0.1, 2.0),
+) -> Tuple[float, int, int, int, int]:
+    """LSJ random draws + derived geometry: (scale, nw, nh, x0, y0).
+
+    Shared between the host render (:func:`lsj`) and the device-aug LSJ
+    planner so the draw STREAM and geometry are identical by construction."""
+    out_w, out_h = out_size
+    h, w = in_hw
+    ratio = rng.uniform(*ratio_range)
+    scale = min(out_h / h, out_w / w) * ratio
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    x0 = int(rng.integers(0, max(1, nw - out_w + 1)))
+    y0 = int(rng.integers(0, max(1, nh - out_h + 1)))
+    return scale, nw, nh, x0, y0
+
+
+def lsj_boxes(
+    boxes: np.ndarray,
+    scale: float,
+    nw: int,
+    nh: int,
+    x0: int,
+    y0: int,
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """Box side of LSJ: scale, crop-shift, clip to the cropped extent,
+    FilterAnnotations(min 1e-2) — exactly the host render's arithmetic."""
+    out_w, out_h = out_size
+    if not len(boxes):
+        return boxes
+    boxes = boxes * scale
+    boxes = boxes - np.array([x0, y0, x0, y0], np.float32)
+    cw, ch = min(nw - x0, out_w), min(nh - y0, out_h)
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
+    keep = (boxes[:, 2] - boxes[:, 0] > 1e-2) & (boxes[:, 3] - boxes[:, 1] > 1e-2)
+    return boxes[keep]
+
+
 def lsj(
     img: np.ndarray,
     boxes: np.ndarray,
@@ -508,26 +551,14 @@ def lsj(
     Pad(114) (``Synthetic_Heatmap/001_lsj-100e_LINZ-heatmap.py:36-57``)."""
     out_w, out_h = out_size
     h, w = img.shape[:2]
-    ratio = rng.uniform(*ratio_range)
-    scale = min(out_h / h, out_w / w) * ratio
-    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    scale, nw, nh, x0, y0 = lsj_params(rng, (h, w), out_size, ratio_range)
     img = np.asarray(
         Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).resize(
             (nw, nh), Image.BILINEAR),
         np.float32,
     )
-    if len(boxes):
-        boxes = boxes * scale
-    # random crop of out_size (if the resized image is smaller, keep it all)
-    x0 = int(rng.integers(0, max(1, nw - out_w + 1)))
-    y0 = int(rng.integers(0, max(1, nh - out_h + 1)))
+    boxes = lsj_boxes(boxes, scale, nw, nh, x0, y0, out_size)
     img = img[y0 : y0 + out_h, x0 : x0 + out_w]
-    if len(boxes):
-        boxes = boxes - np.array([x0, y0, x0, y0], np.float32)
-        boxes[:, 0::2] = boxes[:, 0::2].clip(0, img.shape[1])
-        boxes[:, 1::2] = boxes[:, 1::2].clip(0, img.shape[0])
-        keep = (boxes[:, 2] - boxes[:, 0] > 1e-2) & (boxes[:, 3] - boxes[:, 1] > 1e-2)
-        boxes = boxes[keep]
     # pad bottom-right to out_size
     if img.shape[0] != out_h or img.shape[1] != out_w:
         canvas = np.full((out_h, out_w, 3), pad_val, np.float32)

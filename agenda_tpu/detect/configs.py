@@ -149,6 +149,7 @@ HYPERPARAMS: Dict[Tuple[str, str], Dict[str, Any]] = {
                                     yolo_opt=True, lr_factor=0.01,
                                     close_mosaic=10, val_interval_stage2=1),
     ("real_source", "vitdet"): dict(bs=24, lr=0.001, opt="adamw", epochs=100,
+                                    weight_decay=0.1, layer_decay=0.7,
                                     val_interval=1, aug="mix", base_bs=64),
     # Synthetic_Heatmap: faster-rcnn.py:19-21,279; yolov5.py:32-43;
     # yolov8.py:19,29-34,40; 001_lsj base: 29-33,148-152,228
@@ -165,9 +166,9 @@ HYPERPARAMS: Dict[Tuple[str, str], Dict[str, Any]] = {
                                           lr_factor=0.01, close_mosaic=10,
                                           val_interval_stage2=1),
     ("synthetic_heatmap", "vitdet"): dict(bs=48, lr=1e-4, opt="adamw",
-                                          weight_decay=0.1, epochs=100,
-                                          val_interval=1, aug="lsj",
-                                          base_bs=64),
+                                          weight_decay=0.1, layer_decay=0.7,
+                                          epochs=100, val_interval=1,
+                                          aug="lsj", base_bs=64),
     # Synthetic_Target: faster-rcnn.py:17-18,388-390; yolov5.py:24-34;
     # yolov8.py:19,29-34,40 (close_mosaic 10, val_interval_stage2 1 at
     # :239-240,254-255); vitdet.py:17,23,327-329,423
@@ -184,6 +185,7 @@ HYPERPARAMS: Dict[Tuple[str, str], Dict[str, Any]] = {
                                          lr_factor=0.01, close_mosaic=10,
                                          val_interval_stage2=1),
     ("synthetic_target", "vitdet"): dict(bs=24, lr=1e-4, opt="adamw", epochs=100,
+                                         weight_decay=0.1, layer_decay=0.7,
                                          val_interval=1, aug="mix", base_bs=64),
 }
 
@@ -234,6 +236,10 @@ def preset(
         runner.weight_decay = hp.get("weight_decay", 0.0005)
         runner.lr_factor = hp["lr_factor"]
         runner.clip_grad_norm = None
+    if hp.get("layer_decay"):
+        # mmdet LayerDecayOptimizerConstructor, every reference vitdet stage
+        # (e.g. Real_Source/vitdet.py:327-341): decay_rate 0.7, 12 layers.
+        runner.layer_decay_rate = hp["layer_decay"]
     runner.close_mosaic_epochs = hp.get("close_mosaic", 0)
     runner.val_interval_stage2 = hp.get("val_interval_stage2")
     if detector.startswith("yolo"):

@@ -46,6 +46,8 @@ from agenda_tpu.detect.augment import (
     affine_boxes,
     affine_matrix,
     flip_horizontal,
+    lsj_boxes,
+    lsj_params,
     mixup_boxes,
     mosaic_regions,
 )
@@ -235,11 +237,10 @@ class AugPlanner:
             br, boxes = self._plan_standalone_affine(index, rng)
             branches.append(br)
         elif a.lsj:
-            # LSJ geometry is not expressible as a branch plan (keep-ratio
-            # resize + crop + pad interleaves with box filtering); the LSJ
-            # stage stays on the host data path.
-            raise ValueError("device aug does not support the LSJ recipe; "
-                             "run the vitdet heatmap stage with host aug")
+            # LSJ needs the antialiased per-sample filter render over RAW
+            # tiles — that's LSJPlanner's job, not the branch-plan render.
+            raise ValueError("LSJ recipes route to LSJPlanner "
+                             "(runner._make_planner does this)")
         else:
             branches.append(_identity_branch(index, tw, th))
             boxes = self._tile_boxes(index)
@@ -430,6 +431,181 @@ class ConcatAugPlanner(AugPlanner):
             for br in plan.branches:
                 br.idxs = br.idxs + np.int32(off)
         return plan
+
+
+class LSJPlanner:
+    """Device-side LSJ (the ViTDet heatmap stage,
+    ``Synthetic_Heatmap/001_lsj-100e_LINZ-heatmap.py:36-57``).
+
+    LSJ = flip(p=.5) -> PIL-BILINEAR keep-ratio resize (ratio 0.1-2.0) ->
+    absolute crop -> box filter -> Pad(114). The geometry is an axis-aligned
+    affine of the RAW source tile, so the resample factorizes into two
+    separable filter matmuls per sample — but unlike the YOLO affine render
+    the filter is PIL's ANTIALIASED triangle (support grows as 1/scale for
+    downscales, here down to 0.1x), so the weight matrices are built on
+    device from each sample's (scale, crop, flip) scalars with PIL's exact
+    window/normalization semantics (``data/device_resize.resize_weights``
+    formula), per-pass uint8 rounding included.
+
+    Unlike :class:`AugPlanner` this plans over RAW tiles (the host LSJ path
+    reads ``_load_raw``, not the img_scale cache), so it requires a uniform
+    source size (``dataset.source_size()``).
+    """
+
+    def __init__(self, dataset):
+        a = dataset.aug
+        if not a.lsj:
+            raise ValueError("LSJPlanner needs an LSJ recipe")
+        src = dataset.source_size()
+        if src is None:
+            raise ValueError("device LSJ needs a uniform source tile size")
+        self.ds = dataset
+        self.sw, self.sh = src
+        self.tw, self.th = dataset.img_scale
+        self._raw_cache: Optional[np.ndarray] = None
+
+    separable = True  # render is always the matmul form
+
+    def dataset_tensor(self) -> np.ndarray:
+        """(N, sh, sw, 3) uint8 — RAW decoded tiles (no img_scale resize)."""
+        if self._raw_cache is None:
+            n = len(self.ds)
+            out = np.empty((n, self.sh, self.sw, 3), np.uint8)
+            for i in range(n):
+                img, _ = self.ds._load_raw(i)
+                if img.shape[:2] != (self.sh, self.sw):
+                    raise ValueError(
+                        f"tile {i} is {img.shape[:2]}, expected "
+                        f"{(self.sh, self.sw)} (COCO metadata lied)")
+                out[i] = img.astype(np.uint8)
+            self._raw_cache = out
+        return self._raw_cache
+
+    def _raw_boxes(self, index: int) -> np.ndarray:
+        info = self.ds.images[index]
+        boxes = [[a["bbox"][0], a["bbox"][1],
+                  a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+                 for a in self.ds.anns_by_img.get(info["id"], [])]
+        return np.asarray(boxes, np.float32).reshape(-1, 4)
+
+    def plan_item(self, index: int, rng):
+        """Replicates the host draw order for the LSJ branch
+        (``CocoDetDataset.__getitem__``: flip draw, then ratio/x0/y0 inside
+        ``lsj``; no tail-flip draw). Returns a dict plan."""
+        a = self.ds.aug
+        boxes = self._raw_boxes(index)
+        flip = rng.random() < a.flip_prob
+        if flip and len(boxes):
+            _, boxes = flip_horizontal(
+                np.zeros((1, self.sw, 3), np.float32), boxes)
+        scale, nw, nh, x0, y0 = lsj_params(
+            rng, (self.sh, self.sw), (self.tw, self.th), a.lsj_ratio_range)
+        boxes = lsj_boxes(boxes, scale, nw, nh, x0, y0, (self.tw, self.th))
+        return {"index": index, "flip": flip, "scale": scale,
+                "nw": nw, "nh": nh, "x0": x0, "y0": y0, "boxes": boxes}
+
+    def plan_batch(self, indices, rng, max_gt: int, scratch_slots: int):
+        """Same return contract as ``AugPlanner.plan_batch``; LSJ has no
+        host-passthrough ops, so the scratch slab is always unused."""
+        b = len(indices)
+        plans = [self.plan_item(int(i), rng) for i in indices]
+        packed = {
+            "lsj_idx": np.zeros((b,), np.int32),
+            "lsj_flip": np.zeros((b,), bool),
+            "lsj_snwh": np.zeros((b, 3), np.float32),  # scale, nw, nh
+            "lsj_xy0": np.zeros((b, 2), np.float32),
+            "pass_slot": np.full((b,), -1, np.int32),
+            "gt_boxes": np.zeros((b, max_gt, 4), np.float32),
+            "gt_valid": np.zeros((b, max_gt), bool),
+        }
+        for i, p in enumerate(plans):
+            packed["lsj_idx"][i] = p["index"]
+            packed["lsj_flip"][i] = p["flip"]
+            packed["lsj_snwh"][i] = (p["scale"], p["nw"], p["nh"])
+            packed["lsj_xy0"][i] = (p["x0"], p["y0"])
+            nb = min(len(p["boxes"]), max_gt)
+            if nb:
+                packed["gt_boxes"][i, :nb] = p["boxes"][:nb]
+                packed["gt_valid"][i, :nb] = True
+        scratch = np.zeros((max(1, scratch_slots), self.th, self.tw, 3),
+                           np.float32)
+        return packed, scratch, plans
+
+    def render_host(self, plan) -> np.ndarray:
+        """Host oracle for one plan: replay the stored draws through the
+        same PIL resize/crop/pad the dataset path performs."""
+        from PIL import Image as _Image
+
+        img, _ = self.ds._load_raw(plan["index"])
+        if plan["flip"]:
+            img = np.ascontiguousarray(img[:, ::-1])
+        nw, nh, x0, y0 = plan["nw"], plan["nh"], plan["x0"], plan["y0"]
+        resized = np.asarray(
+            _Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).resize(
+                (nw, nh), _Image.BILINEAR), np.float32)
+        crop = resized[y0:y0 + self.th, x0:x0 + self.tw]
+        canvas = np.full((self.th, self.tw, 3), PAD_VAL, np.float32)
+        canvas[:crop.shape[0], :crop.shape[1]] = crop
+        return canvas
+
+
+def _pil_bilinear_weights_jnp(out_len: int, src_len: int, nsz, off, flip=None):
+    """(B, out_len, src_len) PIL-BILINEAR filter rows built on device.
+
+    Row j maps output position j to resized coordinate j+off in a
+    src_len -> nsz PIL resize: center=(j+off+0.5)*src/nsz, support window
+    [int(center-fs+0.5), int(center+fs+0.5)) clipped to the source,
+    triangle kernel, per-row normalization — the vectorized form of
+    ``data/device_resize.resize_weights``. Rows at j+off >= nsz are all
+    zero (the caller pads those with 114). ``flip`` reverses the SOURCE
+    axis (host LSJ flips the raw tile before resizing)."""
+    j = jnp.arange(out_len, dtype=jnp.float32)[None, :]       # (1, out)
+    x = jnp.arange(src_len, dtype=jnp.float32)[None, None, :]  # (1, 1, src)
+    ss = src_len / nsz[:, None]                                # (B, 1)
+    fs = jnp.maximum(ss, 1.0)
+    center = (j + off[:, None] + 0.5) * ss                     # (B, out)
+    xmin = jnp.maximum(0.0, jnp.floor(center - fs + 0.5))
+    xmax = jnp.minimum(float(src_len), jnp.floor(center + fs + 0.5))
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(
+        (x - center[..., None] + 0.5) / fs[..., None]))
+    w = w * ((x >= xmin[..., None]) & (x < xmax[..., None]))
+    w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
+    w = w * ((j + off[:, None]) < nsz[:, None])[..., None]     # crop rows
+    if flip is not None:
+        w = jnp.where(flip[:, None, None], w[:, :, ::-1], w)
+    return w
+
+
+def render_lsj_batch(data_u8, plans, out_hw: Tuple[int, int],
+                     src_hw: Tuple[int, int]):
+    """Render a batch of LSJ plans from the raw-tile HBM tensor.
+
+    Two batched filter matmuls per sample (MXU) with per-pass uint8
+    rounding (PIL's 8-bit resample path), then the Pad(114) complement for
+    crop rows/cols beyond the resized extent.
+    Returns (B, th, tw, 3) float32 in 0..1."""
+    oh, ow = out_hw
+    sh, sw = src_hw
+    idx = plans["lsj_idx"]
+    snwh = plans["lsj_snwh"]
+    xy0 = plans["lsj_xy0"]
+    nw, nh = snwh[:, 1], snwh[:, 2]
+    x0, y0 = xy0[:, 0], xy0[:, 1]
+
+    tiles = jnp.take(data_u8, idx, axis=0).astype(jnp.float32)  # (B,sh,sw,3)
+    wx = _pil_bilinear_weights_jnp(ow, sw, nw, x0, flip=plans["lsj_flip"])
+    wy = _pil_bilinear_weights_jnp(oh, sh, nh, y0)
+    # PIL order: horizontal pass, quantize, vertical pass, quantize.
+    t = jnp.einsum("bWw,bhwc->bhWc", wx, tiles)
+    t = jnp.round(jnp.clip(t, 0.0, 255.0))
+    t = jnp.einsum("bHh,bhWc->bHWc", wy, t)
+    t = jnp.round(jnp.clip(t, 0.0, 255.0))
+    jj = jnp.arange(ow, dtype=jnp.float32)
+    ii = jnp.arange(oh, dtype=jnp.float32)
+    valid = (((jj[None, None, :] + x0[:, None, None]) < nw[:, None, None])
+             & ((ii[None, :, None] + y0[:, None, None]) < nh[:, None, None]))
+    out = jnp.where(valid[..., None], t, PAD_VAL)
+    return out / 255.0
 
 
 def _hsv_jitter_jnp(img, gains):

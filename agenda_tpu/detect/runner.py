@@ -80,6 +80,14 @@ class RunnerConfig:
     # datasets route through ConcatAugPlanner; the fallback to the host
     # pipeline remains only for the LSJ recipe and cache-disabled datasets.
     device_aug: bool = False
+    # -- mmdet LayerDecayOptimizerConstructor (every reference vitdet stage:
+    # Real_Source/vitdet.py:327-341, Synthetic_Heatmap/001_lsj...py:142-155,
+    # Synthetic_Target/vitdet.py:319-333 — decay_rate 0.7, layer_wise, 12
+    # layers). scale = rate^(L+1-layer_id); layer_id 0 for patch/pos embed,
+    # i+1 for backbone block i, L+1 elsewhere. Weight decay is skipped for
+    # 1-d params and biases (the constructor's no_decay group).
+    layer_decay_rate: Optional[float] = None
+    layer_decay_layers: int = 12
 
 
 def save_variables(path: str, variables: Dict[str, Any]) -> None:
@@ -139,6 +147,50 @@ def bias_mask(params):
 
 def not_bias_mask(params):
     return jax.tree.map(lambda b: not b, bias_mask(params))
+
+
+def layer_decay_scale(path, rate: float, num_layers: int) -> float:
+    """Per-leaf lr multiplier, mmdet LayerDecayOptimizerConstructor /
+    detectron2 ``get_vit_lr_decay_rate`` semantics: patch/pos embed decay
+    the most (layer 0), backbone block i is layer i+1, everything outside
+    the backbone (FPN, RPN, box head, backbone final norm) trains at the
+    full lr."""
+    names = [str(getattr(p, "key", p)) for p in path]
+    if not names or names[0] != "backbone":
+        return 1.0
+    sub = names[1] if len(names) > 1 else ""
+    if sub in ("patch_embed", "pos_embed"):
+        layer_id = 0
+    elif sub.startswith("block_"):
+        layer_id = int(sub.split("_")[1]) + 1
+    else:
+        layer_id = num_layers + 1
+    return rate ** (num_layers + 1 - layer_id)
+
+
+def scale_by_layer_decay(rate: float, num_layers: int):
+    """Multiply each leaf's (already lr-scaled) AdamW update by its layer
+    scale — identical math to torch per-param-group lr: both the Adam term
+    and the decoupled weight-decay term use the group lr."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        scaled = jax.tree_util.tree_map_with_path(
+            lambda path, u: u * layer_decay_scale(path, rate, num_layers),
+            updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def no_decay_mask(params):
+    """LayerDecayOptimizerConstructor's decay group: weight decay only on
+    params with ndim > 1 (1-d params and biases are 'no_decay')."""
+    return jax.tree.map(lambda x: getattr(x, "ndim", 0) > 1, params)
 
 
 def scaled_weight_decay(cfg: RunnerConfig, total_bs: int) -> float:
@@ -215,7 +267,13 @@ def make_optimizer(cfg: RunnerConfig, steps_per_epoch: int,
         if cfg.weight_decay:
             chain.insert(-1, optax.add_decayed_weights(cfg.weight_decay))
     elif cfg.optimizer == "adamw":
-        chain.append(optax.adamw(lr_fn, weight_decay=cfg.weight_decay))
+        if cfg.layer_decay_rate:
+            chain.append(optax.adamw(lr_fn, weight_decay=cfg.weight_decay,
+                                     mask=no_decay_mask))
+            chain.append(scale_by_layer_decay(cfg.layer_decay_rate,
+                                              cfg.layer_decay_layers))
+        else:
+            chain.append(optax.adamw(lr_fn, weight_decay=cfg.weight_decay))
     else:
         raise ValueError(cfg.optimizer)
     return optax.chain(*chain), lr_fn
@@ -338,8 +396,12 @@ class DetectorRunner:
 
         ema_decay = cfg.ema_decay
         if planner is not None:
-            from agenda_tpu.detect.device_aug import render_batch as _render
+            from agenda_tpu.detect.device_aug import (
+                render_batch as _render,
+                render_lsj_batch as _render_lsj,
+            )
             tile_hw = (planner.th, planner.tw)
+            src_hw = (getattr(planner, "sh", 0), getattr(planner, "sw", 0))
             data_rep = replicate(data_dev, mesh)
             separable = planner.separable
 
@@ -351,6 +413,12 @@ class DetectorRunner:
                 # HBM-resident dataset tensor inside the compiled step
                 image = _render(batch["data"], batch["scratch"], batch,
                                 tile_hw, has_mix=has_mix, separable=separable)
+                batch = {"image": image, "gt_boxes": batch["gt_boxes"],
+                         "gt_valid": batch["gt_valid"]}
+            elif "lsj_idx" in batch:
+                # device-side LSJ (ViTDet heatmap stage): antialiased
+                # per-sample filter matmuls over the raw-tile tensor
+                image = _render_lsj(batch["data"], batch, tile_hw, src_hw)
                 batch = {"image": image, "gt_boxes": batch["gt_boxes"],
                          "gt_valid": batch["gt_valid"]}
 
@@ -491,9 +559,14 @@ class DetectorRunner:
 
     @staticmethod
     def _make_planner(dataset):
-        """-> (AugPlanner | None, reason). Device aug needs cached
-        CocoDetDataset parts with non-LSJ recipes."""
-        from agenda_tpu.detect.device_aug import AugPlanner, ConcatAugPlanner
+        """-> (planner | None, reason). Device aug needs cached
+        CocoDetDataset parts; LSJ recipes route to the LSJPlanner (needs a
+        uniform raw tile size, single dataset)."""
+        from agenda_tpu.detect.device_aug import (
+            AugPlanner,
+            ConcatAugPlanner,
+            LSJPlanner,
+        )
 
         parts = getattr(dataset, "datasets", None)
         for part in (parts or [dataset]):
@@ -501,7 +574,11 @@ class DetectorRunner:
             if aug is None:
                 return None, "dataset has no aug recipe"
             if aug.lsj:
-                return None, "LSJ recipe"
+                if parts is not None:
+                    return None, "LSJ over a ConcatDataset"
+                if dataset.source_size() is None:
+                    return None, "LSJ needs a uniform source tile size"
+                return LSJPlanner(dataset), ""
             if getattr(part, "_scaled_cache", None) is None:
                 return None, "tile cache disabled (AGENDA_TPU_IMG_CACHE_MB)"
         if parts is not None:

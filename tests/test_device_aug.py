@@ -312,3 +312,122 @@ def test_runner_device_aug_concat_trains(aug_root, tmp_path):
               for l in open(os.path.join(cfg.runner.output_dir, "metrics.jsonl"))
               if "loss" in json.loads(l)]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+# ---------------------------------------------------------------------------
+# LSJ (ViTDet heatmap stage)
+# ---------------------------------------------------------------------------
+
+
+def _lsj_dataset(root):
+    cfg = preset("synthetic_heatmap", "vitdet",
+                 train=[DatasetSpec(root, "ann.json")],
+                 output_dir=os.path.join(root, "wd_lsj"),
+                 img_scale=(128, 128))
+    return cfg.build_train_dataset()
+
+
+def test_lsj_plan_matches_host_draw_stream(aug_root):
+    """Same seed => device-LSJ plans carry the SAME boxes as the host LSJ
+    items (bit-identical: shared lsj_params/lsj_boxes helpers) and the
+    device render matches host pixels to ~1 LSB."""
+    ds = _lsj_dataset(aug_root)
+    ds_plan = _lsj_dataset(aug_root)
+    assert ds.aug.lsj
+    planner = D.LSJPlanner(ds_plan)
+    idxs = list(range(16))
+
+    host_imgs, host_boxes, host_valid = [], [], []
+    for i in idxs:
+        item = ds[i]
+        host_imgs.append(item["image"] * 255.0)
+        host_boxes.append(item["gt_boxes"])
+        host_valid.append(item["gt_valid"])
+
+    plans = []
+    for call, i in enumerate(idxs, start=1):
+        rng = np.random.default_rng((call * 2654435761 + i) % (2 ** 31))
+        plans.append(planner.plan_item(i, rng))
+
+    for k, p in enumerate(plans):
+        nb = int(host_valid[k].sum())
+        assert len(p["boxes"]) == nb or (len(p["boxes"]) > ds.max_gt and nb == ds.max_gt)
+        np.testing.assert_array_equal(p["boxes"][:nb].astype(np.float32),
+                                      host_boxes[k][:nb])
+
+    # plan_batch smoke (it draws its own stream; the parity render below
+    # uses the host-matched plans instead)
+    pb_packed, pb_scratch, _ = planner.plan_batch(
+        idxs, np.random.default_rng(0), ds.max_gt, 1)
+    assert pb_packed["lsj_idx"].shape == (len(idxs),)
+    assert (pb_packed["pass_slot"] == -1).all()
+    packed = {
+        "lsj_idx": np.array([p["index"] for p in plans], np.int32),
+        "lsj_flip": np.array([p["flip"] for p in plans], bool),
+        "lsj_snwh": np.array([[p["scale"], p["nw"], p["nh"]] for p in plans],
+                             np.float32),
+        "lsj_xy0": np.array([[p["x0"], p["y0"]] for p in plans], np.float32),
+    }
+    data = jnp.asarray(planner.dataset_tensor())
+    out = np.asarray(D.render_lsj_batch(
+        data, {k: jnp.asarray(v) for k, v in packed.items()},
+        (planner.th, planner.tw), (planner.sh, planner.sw))) * 255.0
+
+    host = np.stack(host_imgs)
+    diff = np.abs(out - host)
+    # PIL quantizes filter coefficients to fixed point; the device keeps
+    # float — agreement to ~1 LSB, like the SD device-resize path.
+    assert diff.mean() < 0.6, diff.mean()
+    assert (diff > 2).mean() < 0.01, (diff > 2).mean()
+
+
+def test_lsj_render_host_oracle_matches_dataset(aug_root):
+    """LSJPlanner.render_host replays a plan to the exact dataset pixels."""
+    ds = _lsj_dataset(aug_root)
+    ds_plan = _lsj_dataset(aug_root)
+    planner = D.LSJPlanner(ds_plan)
+    for call, i in enumerate(range(4), start=1):
+        item = ds[i]
+        rng = np.random.default_rng((call * 2654435761 + i) % (2 ** 31))
+        p = planner.plan_item(i, rng)
+        np.testing.assert_array_equal(planner.render_host(p),
+                                      item["image"] * 255.0)
+
+
+def test_lsj_runner_uses_device_planner(aug_root):
+    """_make_planner routes LSJ recipes to LSJPlanner."""
+    from agenda_tpu.detect.runner import DetectorRunner
+
+    ds = _lsj_dataset(aug_root)
+    planner, why = DetectorRunner._make_planner(ds)
+    assert isinstance(planner, D.LSJPlanner), why
+
+
+def test_lsj_runner_device_aug_trains(aug_root, tmp_path):
+    """The Synthetic_Heatmap ViTDet stage trains end-to-end with the
+    device-side LSJ render (tiny ViT backbone)."""
+    from agenda_tpu.detect.runner import DetectorRunner
+
+    cfg = preset("synthetic_heatmap", "vitdet",
+                 train=[DatasetSpec(aug_root, "ann.json")],
+                 output_dir=str(tmp_path / "wd_lsj_train"),
+                 img_scale=(64, 64), max_gt=8,
+                 model=dict(embed_dim=64, vit_depth=2, vit_heads=2,
+                            window_size=2, window_block_indexes=(0,),
+                            drop_path_rate=0.0, nms_pre=128,
+                            num_proposals=32, rpn_sample=32, rcnn_sample=32))
+    cfg.runner.batch_size = 2
+    cfg.runner.max_epochs = 1
+    cfg.runner.val_interval = 100
+    cfg.runner.log_interval = 1
+    cfg.runner.device_aug = True
+    family = cfg.build_family()
+    runner = DetectorRunner(family, cfg.runner)
+    ds = cfg.build_train_dataset()
+    planner, why = DetectorRunner._make_planner(ds)
+    assert isinstance(planner, D.LSJPlanner), why
+    runner.train(ds)
+    losses = [json.loads(l)["loss"]
+              for l in open(os.path.join(cfg.runner.output_dir, "metrics.jsonl"))
+              if "loss" in json.loads(l)]
+    assert losses and all(np.isfinite(l) for l in losses)

@@ -286,3 +286,89 @@ def test_mosaic_close_switch_epoch(tmp_path):
     assert log[-1] is False
     flips = [i for i in range(1, len(log)) if log[i] != log[i - 1]]
     assert len(flips) == 1  # exactly one switch, never back
+
+
+# ---------------------------------------------------------------------------
+# LayerDecayOptimizerConstructor (vitdet stages)
+# ---------------------------------------------------------------------------
+
+
+def _vitdet_like_tree():
+    return {
+        "backbone": {
+            "patch_embed": {"kernel": jnp.full((2, 2, 3, 4), 0.5),
+                            "bias": jnp.full((4,), 0.1)},
+            "pos_embed": jnp.full((1, 4, 4, 4), 0.2),
+            "block_0": {"qkv": {"kernel": jnp.full((4, 12), 0.3),
+                                "bias": jnp.full((12,), 0.05)}},
+            "block_11": {"qkv": {"kernel": jnp.full((4, 12), -0.4)}},
+            "norm": {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+        },
+        "fpn": {"s4_lat": {"kernel": jnp.full((1, 1, 4, 4), 0.7),
+                           "bias": jnp.full((4,), -0.2)}},
+    }
+
+
+def test_layer_decay_scale_table():
+    """Golden scales for decay_rate 0.7, 12 layers (every reference vitdet
+    stage, e.g. Real_Source/vitdet.py:327-341): patch/pos embed 0.7^13,
+    block i 0.7^(12-i), non-backbone and the backbone final norm 1.0."""
+    import jax.tree_util as jtu
+
+    from agenda_tpu.detect.runner import layer_decay_scale
+
+    tree = _vitdet_like_tree()
+    scales = {
+        jtu.keystr(path): layer_decay_scale(path, 0.7, 12)
+        for path, _ in jtu.tree_flatten_with_path(tree)[0]
+    }
+    assert scales["['backbone']['patch_embed']['kernel']"] == pytest.approx(0.7 ** 13)
+    assert scales["['backbone']['pos_embed']"] == pytest.approx(0.7 ** 13)
+    assert scales["['backbone']['block_0']['qkv']['kernel']"] == pytest.approx(0.7 ** 12)
+    assert scales["['backbone']['block_11']['qkv']['kernel']"] == pytest.approx(0.7 ** 1)
+    assert scales["['backbone']['norm']['scale']"] == 1.0
+    assert scales["['fpn']['s4_lat']['kernel']"] == 1.0
+    assert scales["['fpn']['s4_lat']['bias']"] == 1.0
+
+
+def test_layer_decay_adamw_matches_per_group_oracle():
+    """One make_optimizer(adamw+layer_decay) step == per-leaf torch-style
+    param groups: AdamW at lr*scale with weight decay only on ndim>1 leaves."""
+    import jax.tree_util as jtu
+
+    from agenda_tpu.detect.runner import layer_decay_scale, make_optimizer
+
+    params = _vitdet_like_tree()
+    grads = jax.tree.map(lambda x: jnp.full_like(x, 0.01), params)
+
+    cfg = RunnerConfig(optimizer="adamw", lr=1e-3, weight_decay=0.1,
+                       layer_decay_rate=0.7, layer_decay_layers=12,
+                       clip_grad_norm=None, warmup_iters=1,
+                       lr_milestones=(), max_epochs=1)
+    tx, lr_fn = make_optimizer(cfg, steps_per_epoch=10)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+
+    lr0 = float(lr_fn(0))
+    flat_u = dict(jtu.tree_flatten_with_path(updates)[0])
+    flat_p = dict(jtu.tree_flatten_with_path(params)[0])
+    flat_g = dict(jtu.tree_flatten_with_path(grads)[0])
+    for path, u in flat_u.items():
+        scale = layer_decay_scale(path, 0.7, 12)
+        p, g = flat_p[path], flat_g[path]
+        wd = 0.1 if p.ndim > 1 else 0.0
+        oracle = optax.adamw(lr0 * scale, weight_decay=wd)
+        ou, _ = oracle.update(g, oracle.init(p), p)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(ou),
+                                   rtol=1e-6, atol=1e-9,
+                                   err_msg=jtu.keystr(path))
+
+
+def test_vitdet_presets_carry_layer_decay():
+    from agenda_tpu.detect.configs import DatasetSpec, preset
+
+    for stage in ("real_source", "synthetic_heatmap", "synthetic_target"):
+        cfg = preset(stage, "vitdet", train=[DatasetSpec("/tmp", "a.json")])
+        assert cfg.runner.layer_decay_rate == 0.7, stage
+        assert cfg.runner.layer_decay_layers == 12, stage
+        assert cfg.runner.weight_decay == 0.1, stage
