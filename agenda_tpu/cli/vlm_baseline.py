@@ -13,6 +13,13 @@ deployment, so the backend is pluggable:
 
 - ``--backend gemini``: uses google.generativeai when installed AND an API
   key is supplied (parity path; inert here);
+- ``--backend transformers``: LOCAL vision-language model inference via HF
+  transformers (``AutoModelForImageTextToText`` + ``AutoProcessor`` from
+  ``--model_path``) — the zero-egress equivalent of the reference's local
+  lmdeploy-InternVL3 (``test_internvl.py:48-49,64``) and DeepSeek-VL2
+  (``test_deepseek.py:48-53``) inference: same per-image prompt loop, same
+  response parsing. Any local image-text-to-text checkpoint directory works
+  (driven end-to-end in tests with a fabricated tiny LLaVA);
 - ``--backend responses``: replays cached model responses from a JSON file
   {file_name: response_text} — lets the full parse/convert/evaluate chain
   run offline and makes the published VLM precision/recall rows reproducible
@@ -43,8 +50,14 @@ from typing import List
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Zero-shot VLM detection baseline.")
     p.add_argument("--backend", type=str, default="responses",
-                   choices=["gemini", "responses"])
+                   choices=["gemini", "transformers", "responses"])
     p.add_argument("--api_key", type=str, default=None, help="API key (gemini backend)")
+    p.add_argument("--model_path", type=str, default=None,
+                   help="Local HF image-text-to-text checkpoint dir "
+                        "(transformers backend)")
+    p.add_argument("--max_new_tokens", type=int, default=512,
+                   help="Generation budget (transformers backend); "
+                        "test_internvl.py uses the lmdeploy default")
     p.add_argument("--responses_file", type=str, default=None,
                    help="JSON {file_name: response_text} (responses backend)")
     p.add_argument("--test_data_base_path", type=str, default="Data/Real/UGRC/test")
@@ -142,6 +155,42 @@ def main(argv=None):
 
         def query(image_ann):
             return responses.get(image_ann["file_name"], "")
+
+    elif args.backend == "transformers":
+        if not args.model_path:
+            raise ValueError("--backend transformers requires --model_path")
+        import torch
+        from PIL import Image
+        from transformers import AutoModelForImageTextToText, AutoProcessor
+
+        processor = AutoProcessor.from_pretrained(args.model_path)
+        model = AutoModelForImageTextToText.from_pretrained(args.model_path)
+        model.eval()
+        # InternVL/DeepSeek wrap the question in their chat template
+        # (test_internvl.py:64, test_deepseek.py:79-90); use the checkpoint's
+        # template when it ships one, else the plain image+text prompt.
+        def _prompt_text():
+            try:
+                messages = [{"role": "user", "content": [
+                    {"type": "image"},
+                    {"type": "text", "text": args.prompt},
+                ]}]
+                return processor.apply_chat_template(
+                    messages, add_generation_prompt=True)
+            except Exception:
+                return f"<image>\n{args.prompt}"
+
+        prompt_text = _prompt_text()
+
+        def query(image_ann):
+            img = Image.open(os.path.join(args.test_data_base_path, "images",
+                                          image_ann["file_name"])).convert("RGB")
+            inputs = processor(images=img, text=prompt_text, return_tensors="pt")
+            with torch.no_grad():
+                out = model.generate(**inputs, max_new_tokens=args.max_new_tokens,
+                                     do_sample=False)
+            return processor.batch_decode(
+                out[:, inputs["input_ids"].shape[1]:], skip_special_tokens=True)[0]
 
     else:  # gemini
         try:

@@ -161,3 +161,63 @@ def make_tiny_coco_det_dir(root: str, n_images: int = 16, size: int = 112,
         json.dump({"categories": [{"id": 1, "name": "small"}],
                    "images": images, "annotations": annotations}, f)
     return "ann.json"
+
+
+def write_tiny_vlm(out_dir: str, seed: int = 0) -> str:
+    """Fabricated minute LLaVA checkpoint dir for the transformers VLM
+    backend (cli/vlm_baseline.py --backend transformers): random weights,
+    GPT2-style byte tokenizer with an ``<image>`` token, CLIP image
+    processor. Stands in for the reference's local InternVL3/DeepSeek-VL2
+    checkpoints (Data/inference/test_internvl.py:48-49) in the zero-egress
+    test environment. Requires torch + transformers (test extras)."""
+    import torch  # noqa: F401  (transformers model init needs it)
+    from transformers import (
+        CLIPImageProcessor,
+        CLIPVisionConfig,
+        GPT2Tokenizer,
+        LlamaConfig,
+        LlavaConfig,
+        LlavaForConditionalGeneration,
+        LlavaProcessor,
+    )
+
+    tok_dir = os.path.join(out_dir, "_tok_src")
+    os.makedirs(tok_dir, exist_ok=True)
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2, "<image>": 3}
+    for ch in "abcdefghijklmnopqrstuvwxyz0123456789[],. \n":
+        vocab.setdefault(ch, len(vocab))
+    with open(os.path.join(tok_dir, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(tok_dir, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    tokenizer = GPT2Tokenizer(
+        os.path.join(tok_dir, "vocab.json"),
+        os.path.join(tok_dir, "merges.txt"),
+        unk_token="<unk>", bos_token="<s>", eos_token="</s>",
+    )
+    tokenizer.add_special_tokens({"additional_special_tokens": ["<image>"]})
+
+    vision = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                              num_hidden_layers=2, num_attention_heads=2,
+                              image_size=32, patch_size=8)
+    text = LlamaConfig(hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=2,
+                       vocab_size=len(vocab), max_position_embeddings=256)
+    cfg = LlavaConfig(vision_config=vision, text_config=text,
+                      image_token_index=vocab["<image>"],
+                      vision_feature_layer=-1,
+                      vision_feature_select_strategy="default")
+    import transformers
+
+    transformers.set_seed(seed)
+    model = LlavaForConditionalGeneration(cfg)
+    image_processor = CLIPImageProcessor(size={"shortest_edge": 32},
+                                         crop_size={"height": 32, "width": 32})
+    processor = LlavaProcessor(image_processor=image_processor,
+                               tokenizer=tokenizer, patch_size=8,
+                               vision_feature_select_strategy="default",
+                               num_additional_image_tokens=1)
+    model_dir = os.path.join(out_dir, "tiny_vlm")
+    model.save_pretrained(model_dir)
+    processor.save_pretrained(model_dir)
+    return model_dir

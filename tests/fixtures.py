@@ -6,4 +6,5 @@ from agenda_tpu.io.tiny_fixture import (  # noqa: F401
     bytes_to_unicode,
     make_tiny_pipeline_dir,
     write_tiny_tokenizer,
+    write_tiny_vlm,
 )

@@ -101,3 +101,49 @@ def test_offline_responses_backend_deepseek(tmp_path):
     ])
     bb = pred["annotations"][0]["bbox"]
     assert abs(bb[2] - 112.0) < 1e-6  # full-image box maps to full width
+
+
+def test_transformers_backend_local_inference(tmp_path):
+    """Real local VLM inference through the transformers backend: fabricated
+    tiny LLaVA checkpoint -> per-image prompt -> generate -> parse -> COCO
+    emission (the reference's local InternVL/DeepSeek inference role,
+    Data/inference/test_internvl.py:48-80, in its zero-egress variant)."""
+    import pytest
+
+    pytest.importorskip("transformers")
+    from PIL import Image
+
+    from agenda_tpu.io.tiny_fixture import write_tiny_vlm
+
+    model_dir = write_tiny_vlm(str(tmp_path))
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for name in ("0.png", "1.png"):
+        Image.fromarray(rng.randint(0, 255, (112, 112, 3), np.uint8)).save(
+            img_dir / name)
+    gt = {
+        "categories": [{"id": 1, "name": "small"}],
+        "images": [{"id": 0, "file_name": "0.png", "width": 112, "height": 112},
+                   {"id": 1, "file_name": "1.png", "width": 112, "height": 112}],
+        "annotations": [],
+    }
+    (tmp_path / "gt.json").write_text(json.dumps(gt))
+
+    pred = main([
+        "--backend", "transformers",
+        "--model_path", model_dir,
+        "--model_format", "internvl",
+        "--test_data_base_path", str(tmp_path),
+        "--annotation_file", "gt.json",
+        "--save_path", str(tmp_path / "pred.json"),
+        "--max_new_tokens", "16",
+    ])
+    # A random tiny model emits no parseable boxes; the contract is the
+    # loop ran per image and the COCO envelope matches the GT's lists.
+    saved = json.loads((tmp_path / "pred.json").read_text())
+    assert saved["images"] == gt["images"]
+    assert saved["categories"] == gt["categories"]
+    assert isinstance(saved["annotations"], list)
+    assert pred["annotations"] == saved["annotations"]
