@@ -91,6 +91,12 @@ def parse_args(argv=None):
                    help="Devices along the parameter-sharding mesh axis (ZeRO-ish).")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Write a jax.profiler trace of the hot loop here.")
+    p.add_argument("--cache_latents", action="store_true",
+                   help="Precompute per-image VAE latent moments once and "
+                        "sample them in the step (exact: the data transform "
+                        "is deterministic, so only the reparameterized draw "
+                        "must stay fresh). Removes the frozen 512px encoder "
+                        "from the hot loop (~-20%% step time measured).")
     args = p.parse_args(argv)
 
     if args.dataset_folder is None or args.json_file_name is None:
@@ -229,6 +235,23 @@ def main(argv=None):
     vae_params = replicate(cast(bundle.vae_params), mesh)
     text_params = replicate(cast(bundle.text_params), mesh)
 
+    if args.cache_latents:
+        from agenda_tpu.train.latent_cache import (
+            LatentMomentsDataset,
+            precompute_latent_moments,
+        )
+
+        moments = precompute_latent_moments(
+            vae, vae_params, dataset, batch_size=global_bs,
+            resize_weights=resize_w, log_fn=logger.info,
+        )
+        dataset = LatentMomentsDataset(dataset, moments)
+        # Same loader config => identical epoch shuffle stream; only the
+        # pixel entry in each row is swapped for its cached moments.
+        loader = DataLoader(dataset, global_bs, shuffle=True, seed=seed,
+                            num_workers=max(1, args.dataloader_num_workers),
+                            pad_to_full=True)
+
     loss_cfg = LossConfig(
         snr_gamma=args.snr_gamma,
         noise_offset=args.noise_offset,
@@ -296,7 +319,9 @@ def main(argv=None):
             if done:
                 break
             for batch in loader:
-                if "pixel_u8" in batch:
+                if "latent_moments" in batch:
+                    payload = {"latent_moments": batch["latent_moments"]}
+                elif "pixel_u8" in batch:
                     payload = {"pixel_u8": batch["pixel_u8"]}
                 else:
                     payload = {"pixel_values": batch["pixel_values"].astype(np.float32)}

@@ -90,6 +90,10 @@ def parse_args(argv=None):
     # TPU extras
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--cache_latents", action="store_true",
+                   help="Precompute per-image VAE latent moments once and "
+                        "sample them in the step (exact — see "
+                        "train/latent_cache.py).")
     args = p.parse_args(argv)
 
     # Mutual-exclusion rules (finetune_sd_token.py:551-564).
@@ -295,6 +299,22 @@ def main(argv=None):
     state = replicate(state, mesh)
     cast = lambda t: jax.tree.map(lambda x: jnp.asarray(x, compute_dtype), t)
     vae_params = replicate(cast(bundle.vae_params), mesh)
+
+    if args.cache_latents:
+        from agenda_tpu.train.latent_cache import (
+            LatentMomentsDataset,
+            precompute_latent_moments,
+        )
+
+        moments = precompute_latent_moments(
+            vae, vae_params, dataset, batch_size=global_bs,
+            resize_weights=resize_w, log_fn=logger.info,
+        )
+        dataset = LatentMomentsDataset(dataset, moments)
+        # Same loader config => identical epoch shuffle stream.
+        loader = DataLoader(dataset, global_bs, shuffle=True, seed=seed,
+                            num_workers=max(1, args.dataloader_num_workers),
+                            pad_to_full=True)
     text_params_dev = replicate(
         {"params": {**cast(text_params["params"]),
                     "token_embedding": jnp.asarray(table, jnp.float32)}},
@@ -413,7 +433,9 @@ def main(argv=None):
             if done:
                 break
             for batch in loader:
-                if "pixel_u8" in batch:
+                if "latent_moments" in batch:
+                    payload = {"latent_moments": batch["latent_moments"]}
+                elif "pixel_u8" in batch:
                     payload = {"pixel_u8": batch["pixel_u8"]}
                 else:
                     payload = {"pixel_values": batch["pixel_values"].astype(np.float32)}

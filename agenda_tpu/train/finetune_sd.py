@@ -155,16 +155,26 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
         k_vae, k_loss = jax.random.split(rng)
 
-        if "pixel_u8" in batch:
-            # uint8 source tiles resized ON DEVICE (data/device_resize.py):
-            # 80x less host->device traffic and no host-side PIL resize.
-            from agenda_tpu.data.device_resize import apply_resize
-
-            pixels = apply_resize(batch["pixel_u8"], *resize_weights)
+        if "latent_moments" in batch:
+            # Cached latent moments (train/latent_cache.py): the frozen VAE
+            # encoder ran ONCE per image at cache build; the step only draws
+            # the fresh reparameterized sample — bit-identical to encoding
+            # here (same k_vae stream, f32 moments), minus the ~50-70 ms of
+            # 512px encoder machinery per step.
+            mean, logvar = jnp.split(
+                batch["latent_moments"].astype(jnp.float32), 2, axis=-1
+            )
         else:
-            pixels = batch["pixel_values"]
-        # Frozen encoders (finetune_sd.py:763-788).
-        mean, logvar = vae.apply(vae_params, pixels, method="encode")
+            if "pixel_u8" in batch:
+                # uint8 source tiles resized ON DEVICE (data/device_resize.py):
+                # 80x less host->device traffic and no host-side PIL resize.
+                from agenda_tpu.data.device_resize import apply_resize
+
+                pixels = apply_resize(batch["pixel_u8"], *resize_weights)
+            else:
+                pixels = batch["pixel_values"]
+            # Frozen encoders (finetune_sd.py:763-788).
+            mean, logvar = vae.apply(vae_params, pixels, method="encode")
         latents = sample_latents(mean, logvar, k_vae) * scaling
         context, _ = text_encoder.apply(text_params, batch["input_ids"])
 

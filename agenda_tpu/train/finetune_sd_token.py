@@ -245,14 +245,22 @@ def make_token_train_step(
         rng = jax.random.fold_in(rng, state.step)
         k_vae, k_noise, k_t, k_off = jax.random.split(rng, 4)
 
-        if "pixel_u8" in batch:
-            # uint8 source tiles resized ON DEVICE (data/device_resize.py)
-            from agenda_tpu.data.device_resize import apply_resize
-
-            pixels = apply_resize(batch["pixel_u8"], *resize_weights)
+        if "latent_moments" in batch:
+            # Cached latent moments (train/latent_cache.py): bit-identical to
+            # encoding here — the data transform is deterministic, only the
+            # reparameterized sample must stay fresh per step.
+            mean, logvar = jnp.split(
+                batch["latent_moments"].astype(jnp.float32), 2, axis=-1
+            )
         else:
-            pixels = batch["pixel_values"]
-        mean, logvar = vae.apply(vae_params, pixels, method="encode")
+            if "pixel_u8" in batch:
+                # uint8 source tiles resized ON DEVICE (data/device_resize.py)
+                from agenda_tpu.data.device_resize import apply_resize
+
+                pixels = apply_resize(batch["pixel_u8"], *resize_weights)
+            else:
+                pixels = batch["pixel_values"]
+            mean, logvar = vae.apply(vae_params, pixels, method="encode")
         latents = sample_latents(mean, logvar, k_vae) * scaling
         b = latents.shape[0]
 

@@ -285,6 +285,20 @@ def main():
             file=sys.stderr,
         )
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        # Per-op device report of ONE steady-state generation batch
+        # (BENCH_PROFILE=<dir>): the data for the generation-plateau work.
+        from agenda_tpu.utils import xprof
+        from agenda_tpu.utils.profiling import maybe_profile
+
+        with maybe_profile(profile_dir):
+            imgs, _ = pipe(prompt, seeds=list(range(batch)),
+                           num_inference_steps=steps, words=words,
+                           out_size=out_size, tgate_step=tgate)
+        rep = xprof.device_op_report(profile_dir, iters=1, top=30)
+        print(xprof.format_report(rep), file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

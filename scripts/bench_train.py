@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--flash-min-dim", type=int, default=40)
     p.add_argument("--source-size", type=int, default=112,
                    help="uint8 source tile edge (device-resized to 512)")
+    p.add_argument("--cache-latents", action="store_true",
+                   help="feed cached latent moments instead of pixels "
+                        "(--cache_latents production path: no VAE encode "
+                        "in the step)")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--profile-steps", type=int, default=6)
@@ -127,18 +131,27 @@ def main(argv=None):
     rng = jax.random.key(0)
     host = np.random.RandomState(0)
     batch = {
-        "pixel_u8": jnp.asarray(host.randint(
-            0, 256, (args.bs, args.source_size, args.source_size, 3), np.uint8)),
         "input_ids": jnp.asarray(host.randint(
             0, text_cfg.vocab_size, (args.bs, 77), np.int32)),
     }
+    if args.cache_latents:
+        batch["latent_moments"] = jnp.asarray(host.normal(
+            0, 1, (args.bs, lat, lat, 8)).astype(np.float32))
+    else:
+        batch["pixel_u8"] = jnp.asarray(host.randint(
+            0, 256, (args.bs, args.source_size, args.source_size, 3), np.uint8))
 
+    print(f"# compiling train step (bs {args.bs}) ...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    compiled = step_fn.lower(state, vae_params, text_params, batch, rng).compile()
+    print(f"# compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(args.warmup):
-        state, metrics = step_fn(state, vae_params, text_params, batch, rng)
+        state, metrics = compiled(state, vae_params, text_params, batch, rng)
     jax.block_until_ready(metrics["loss"])
-    print(f"# warmup ({args.warmup} steps incl. compile): "
-          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"# warmup ({args.warmup} steps): "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    step_fn = compiled
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
@@ -149,7 +162,8 @@ def main(argv=None):
           f"{args.bs / dt:.2f} img/s/chip  (bs {args.bs}, "
           f"{'remat' if args.remat else 'no-remat'}, "
           f"{'ema' if not args.no_ema else 'no-ema'}, "
-          f"{'donated' if not args.no_donate else 'undonated'})")
+          f"{'donated' if not args.no_donate else 'undonated'}"
+          f"{', cached-latents' if args.cache_latents else ''})")
 
     if args.profile_dir:
         from agenda_tpu.utils import xprof
