@@ -15,6 +15,20 @@ Run one named ablation per invocation (single-core host; runs are serial):
 
 Reference semantics being checked: mmdet ViTDet LSJ base
 (/root/reference/data_annotation/configs/Synthetic_Heatmap/vitdet.py:1-75).
+
+Measured 2026-08-20 (8-virtual-device CPU mesh, this suite):
+
+    baseline  mAP50 0.804  (mAP 0.378, mAP75 0.317)
+    nowindow  mAP50 0.796  (mAP 0.400, mAP75 0.401)
+
+The gate config now measures 0.804, not the 0.71 recorded 2026-08-16: the
+old calibration predates the round-3 eval-path rework (device-side
+PIL-exact eval resize, 9c0e1f4), and on a 16-image val set a handful of
+boxes moves mAP50 several points. nowindow ~= baseline rules out window
+attention as the limiter; vitdet now sits at/above faster-rcnn (0.73-0.77),
+so the residual gap to yolov8 (0.91) tracks the shared two-stage head at
+this tiny geometry, not the ViT backbone. tests/test_convergence.py gate
+raised 0.40 -> 0.55 accordingly.
 """
 
 import json

@@ -20,6 +20,15 @@ docstring for the root-cause evidence). That raised yolov5 0.45 -> 0.82
 same lr, so the yolo gates tightened accordingly; yolov5's published-paper
 deficit vs yolov8 (68.8 vs 75.4 AP50) is now roughly the gap seen here.
 
+Round-4 vitdet recalibration (2026-08-20, scripts/ablate_vitdet.py): the
+exact gate config now measures mAP50 0.804 (was 0.71 on 2026-08-16 — the
+old number predates the round-3 eval-path rework, e.g. the device-side
+PIL-exact eval resize 9c0e1f4; on a 16-image val set a handful of boxes
+moves mAP50 several points). Ablation: no-window 0.796 (window attention
+is NOT the limiter). vitdet now sits at/above faster-rcnn's 0.73-0.77 —
+the residual gap to yolov8's 0.91 tracks the shared two-stage head on this
+tiny-geometry benchmark, not the ViT backbone. Gate raised 0.40 -> 0.55.
+
 A subtly broken assigner, box loss, or decoder plateaus near zero here, so
 these gates fail on real regressions, not just NaNs.
 """
@@ -112,4 +121,6 @@ def test_vitdet_convergence_gate(tmp_path):
              window_size=2, window_block_indexes=(0,), drop_path_rate=0.0,
              nms_pre=256, num_proposals=64, rpn_sample=64, rcnn_sample=64),
         lr=3e-4, epochs=30, optimizer="adamw")
-    assert res["bbox_mAP_50"] >= 0.40, res  # calibrated 0.71
+    # calibrated 0.804 (2026-08-20, scripts/ablate_vitdet.py baseline);
+    # the old 0.71 predates the round-3 eval-path rework — see module docstring
+    assert res["bbox_mAP_50"] >= 0.55, res
