@@ -90,10 +90,14 @@ def parse_args(argv=None):
     # TPU extras
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default=None)
-    p.add_argument("--cache_latents", action="store_true",
+    p.add_argument("--cache_latents", action="store_true", default=True,
                    help="Precompute per-image VAE latent moments once and "
                         "sample them in the step (exact — see "
-                        "train/latent_cache.py).")
+                        "train/latent_cache.py). DEFAULT ON (r5 chip "
+                        "measurement on the full-SD step: -19%% step time).")
+    p.add_argument("--no_cache_latents", dest="cache_latents",
+                   action="store_false",
+                   help="Re-encode pixels in every step (reference behavior).")
     args = p.parse_args(argv)
 
     # Mutual-exclusion rules (finetune_sd_token.py:551-564).
