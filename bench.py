@@ -9,13 +9,20 @@ so the headline composes every stage, not just generation:
      (data_generation/data_generation.py:56-86);
   2. stack: 3 per-word heatmaps -> RGB heatmap image, R=object G=fg
      B=inverted-bg (postprocess_heatmap.py:36-50);
-  3. label: yolov8 predict on the 112-px stacks at the detector's 128-px
-     img_scale with the on-device u8 resize (mmdet tools/test.py role);
+  3. label: TRAINED yolov8 predict on the 112-px stacks at the detector's
+     128-px img_scale with the on-device u8 resize (mmdet tools/test.py
+     role) — quick-trained + F1-max-calibrated via detect/bench_labeler.py,
+     cached in .bench_cache/, operating point clipped to 1-10 boxes/img;
   4. pseudo-COCO: score filter + edge completion + fake 42.36-px boxes
-     (ConvertPredToCOCOPseudoAnnotations.ipynb cells 4-7).
+     (ConvertPredToCOCOPseudoAnnotations.ipynb cells 4-7);
+  5. refine classifier at the reference recipe (80 epochs, 224-px crops,
+     refine_label.py:189-235) — per-image optimizer steps match any
+     campaign size by construction. BENCH_NO_REFINE=1 for the r4 metric.
 
-Random weights throughout (throughput is weight-independent). Stages 1+3
-run pipelined exactly like the production CLIs (one batch in flight).
+The SD weights are random (generation throughput is weight-independent);
+the labeler's are trained. Stages 1+3 run pipelined exactly like the
+production CLIs (one batch in flight). Generated images are written as
+PNGs (the production artifact; refine crops from them).
 
 Baseline (BASELINE.json north star): 10,000 images/hour on a v5e-8
 => 0.3472 images/sec/chip. vs_baseline = ours / 0.3472.
@@ -131,15 +138,19 @@ def main():
     out_size = int(os.environ.get("BENCH_OUT", "112"))  # production artifact size
     gen_only = bool(int(os.environ.get("BENCH_GEN_ONLY", "0")))
 
-    # -- stage 3 setup: yolov8 labeler at the reference geometry (128-px
-    # img_scale over 112-px stacks — Synthetic_Heatmap/yolov8.py) with the
-    # runner's on-device u8 resize (detect/runner.py predict_u8).
+    # -- stage 3 setup: TRAINED yolov8 labeler at the reference geometry
+    # (128-px img_scale over 112-px stacks — Synthetic_Heatmap/yolov8.py)
+    # with the runner's on-device u8 resize (detect/runner.py predict_u8).
+    # Quick-trained on the procedural heatmap domain + F1-max-calibrated
+    # threshold, cached under .bench_cache/ (detect/bench_labeler.py) so the
+    # stage-4/5 per-box volume is a trained detector's, not noise.
     if not gen_only:
         from agenda_tpu.data.device_resize import resize_weights
-        from agenda_tpu.detect.families import build_family
+        from agenda_tpu.detect.bench_labeler import prepare_stack_labeler
 
-        fam = build_family("yolov8", model=dict(img_size=128, max_gt=64))
-        det_vars = fam.init_variables(jax.random.key(7))
+        fam, det_vars, f1max_thr = prepare_stack_labeler(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache"),
+            log=lambda m: print(m, file=sys.stderr))
         w112 = jnp.asarray(resize_weights(out_size, 128, "bilinear"))
 
         @jax.jit
@@ -180,10 +191,25 @@ def main():
     # the train step was ~15% (STATUS round-3 notes).
     pending = None          # generation thunk for the in-flight batch
     pending_label = None    # labeling futures for the previous batch
-    records = []
-    stage = {"gen_wait": 0.0, "stack_host": 0.0, "label_wait": 0.0,
-             "pseudo_coco": 0.0}
+    raw = []                # per-image (bboxes, scores) — all valid dets
+    stage = {"gen_wait": 0.0, "png_host": 0.0, "stack_host": 0.0,
+             "label_wait": 0.0, "pseudo_coco": 0.0, "refine": 0.0}
     times = []
+    import tempfile
+
+    png_dir = tempfile.mkdtemp(prefix="bench_png_")
+
+    n_png = [0]
+
+    def save_pngs(imgs):
+        # Production writes every generated image to disk
+        # (data_generation.py:60); refine crops from these files.
+        t = time.time()
+        for j in range(len(imgs)):
+            Image.fromarray(imgs[j]).save(
+                os.path.join(png_dir, f"{n_png[0]}.png"))
+            n_png[0] += 1
+        stage["png_host"] += time.time() - t
 
     def collect_label(fut):
         t = time.time()
@@ -191,20 +217,8 @@ def main():
         stage["label_wait"] += time.time() - t
         sb = out_size / 128.0  # scale detector coords back to 112 px
         for k in range(len(boxes)):
-            # Random detector weights emit ~55 boxes/img at score ~0.01; the
-            # cutoffs are set BELOW that so every box flows through the
-            # stage-4 per-box edge-completion math (a trained detector at the
-            # production F1-max threshold passes ~1-10 boxes/img — this is
-            # the conservative side).
-            keep = valid[k] & (scores[k] > 0.005)
-            records.append({
-                "img_path": f"/bench/{len(records)}.png",
-                "pred_instances": {
-                    "bboxes": boxes[k][keep] * sb,
-                    "scores": scores[k][keep],
-                    "labels": np.zeros(int(keep.sum()), np.int64),
-                },
-            })
+            keep = valid[k].astype(bool)
+            raw.append((boxes[k][keep] * sb, scores[k][keep]))
 
     t0 = time.time()
     for r in range(repeats):
@@ -216,6 +230,7 @@ def main():
             imgs, wmaps = pending()
             stage["gen_wait"] += time.time() - t
             if not gen_only:
+                save_pngs(imgs)
                 t = time.time()
                 stacks = np.stack([stack_maps(wmaps, j) for j in range(batch)])
                 stage["stack_host"] += time.time() - t
@@ -229,32 +244,101 @@ def main():
     imgs, wmaps = pending()
     stage["gen_wait"] += time.time() - t
     if not gen_only:
+        save_pngs(imgs)
         t = time.time()
         stacks = np.stack([stack_maps(wmaps, j) for j in range(batch)])
         stage["stack_host"] += time.time() - t
         if pending_label is not None:
             collect_label(pending_label)
         collect_label(label_u8(det_vars, jnp.asarray(stacks)))
+
+        n_img = batch * repeats
+        # Operating point: the calibrated F1-max threshold, clipped into the
+        # score band passing 1-10 boxes/img on THESE stacks (the random-
+        # weight SD's score distribution is arbitrary; a trained campaign's
+        # is what the F1-max threshold was calibrated for). Keeps the
+        # stage-4/5 per-box volume at the production 1-10 boxes/img.
+        all_scores = np.sort(np.concatenate([s for _, s in raw]))[::-1]
+
+        def q_for(k_per_img):
+            i = min(int(k_per_img * n_img), len(all_scores) - 1)
+            return float(all_scores[i])
+
+        cutoff = float(np.clip(f1max_thr, q_for(10), q_for(1)))
+        records = []
+        for i, (bx, sc) in enumerate(raw):
+            keep = sc > cutoff
+            records.append({
+                "img_path": os.path.join(png_dir, f"{i}.png"),
+                "pred_instances": {
+                    "bboxes": bx[keep],
+                    "scores": sc[keep],
+                    "labels": np.zeros(int(keep.sum()), np.int64),
+                },
+            })
+        boxes_per_img = sum(len(r["pred_instances"]["scores"])
+                            for r in records) / n_img
+
         # stage 4: threshold filter + edge completion + pseudo-COCO build
-        # (the F1-max threshold itself comes from the real-source analysis
-        # pass in production; applying it here is the per-image cost).
+        # (ConvertPredToCOCOPseudoAnnotations.ipynb cells 4-7).
         t = time.time()
         from agenda_tpu.annotate.coco import predictions_to_pseudo_coco
 
-        coco = predictions_to_pseudo_coco(records, 0.005, 42.36,
+        coco = predictions_to_pseudo_coco(records, cutoff, 42.36,
                                           (out_size, out_size))
         stage["pseudo_coco"] += time.time() - t
-        assert len(coco["images"]) == batch * repeats
+        assert len(coco["images"]) == n_img
         assert coco["annotations"], "stage 4 must process real boxes"
+
+        # stage 5: refine classifier (refine_label.py:189-235) at the
+        # reference recipe — 80 epochs, bs 64, 224-px crops. Optimizer
+        # steps/image match any campaign size by construction (epochs are
+        # defined over the crop set), so the per-image cost is the
+        # production-amortized one; bucket thresholds map the reference's
+        # 0.75/0.35/0.05 onto this score distribution's quantiles at the
+        # same boxes/img occupancy (~1 pos / ~2 unlabeled / ~3 neg per img).
+        if not int(os.environ.get("BENCH_NO_REFINE", "0")):
+            import pickle
+
+            from agenda_tpu.cli import refine_label
+
+            full_records = [{
+                "img_path": os.path.join(png_dir, f"{i}.png"),
+                "pred_instances": {
+                    "bboxes": bx, "scores": sc,
+                    "labels": np.zeros(len(sc), np.int64)},
+            } for i, (bx, sc) in enumerate(raw)]
+            pkl_path = os.path.join(png_dir, "pred.pkl")
+            with open(pkl_path, "wb") as f:
+                pickle.dump(full_records, f)
+            t = time.time()
+            refine_label.main([
+                "--prediction_pkl", pkl_path,
+                "--synthetic_image_base_path", png_dir,
+                "--json_save_path", os.path.join(png_dir, "refined.json"),
+                "--checkpoint_save_path", os.path.join(png_dir, "clf"),
+                "--num_epochs", "80", "--train_batch_size", "64",
+                "--test_batch_size", "64", "--crop_size", "224",
+                "--seed", "0",
+                "--pos_thresh", str(q_for(1)),
+                "--neg_thresh", str(q_for(3)),
+                "--hard_neg_thresh", str(q_for(6)),
+            ])
+            stage["refine"] += time.time() - t
+            assert os.path.exists(os.path.join(png_dir, "refined.json"))
     times.append(time.time() - t0 - sum(times))
     total = time.time() - t0
     img_per_sec = batch * repeats / total
 
     if gen_only:
         metric = "512px SD images/sec/chip with DAAM heatmaps (20-step PLMS, CFG)"
-    else:
+    elif int(os.environ.get("BENCH_NO_REFINE", "0")):
         metric = ("512px SD images+pseudo-labels/sec/chip (20-step PLMS gen "
                   "+ DAAM heatmaps + stack + yolov8 labeling + pseudo-COCO)")
+    else:
+        metric = ("512px SD images+pseudo-labels/sec/chip (20-step PLMS gen "
+                  "+ DAAM heatmaps + stack + trained-yolov8 labeling "
+                  "+ pseudo-COCO + refine classifier)")
     if tgate:
         metric += f" [TGATE gate={tgate} — approximate, not the headline]"
     result = {
@@ -279,7 +363,9 @@ def main():
         print(
             "# stage breakdown (wall, pipelined): "
             + " ".join(f"{k}={v:.3f}s" for k, v in stage.items())
-            + f" | {len(records)} records, {len(coco['annotations'])} pseudo boxes"
+            + f" | {len(records)} records, {len(coco['annotations'])} pseudo "
+              f"boxes ({boxes_per_img:.1f} boxes/img at cutoff {cutoff:.3f}; "
+              f"calibrated F1-max thr {f1max_thr:.3f})"
             + f" | composed {img_per_sec:.3f} img+label/s vs gen-blocked-only "
               f"{n / max(stage['gen_wait'], 1e-9):.3f}",
             file=sys.stderr,
