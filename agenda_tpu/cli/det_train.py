@@ -49,6 +49,10 @@ def parse_args(argv=None):
                         "from an HBM-resident dataset tensor (the host only "
                         "draws random numbers + box math); falls back to the "
                         "host pipeline for unsupported recipes (LSJ/concat).")
+    p.add_argument("--device-aug-workers", type=int, default=0,
+                   help="Worker processes that pre-build future epochs' "
+                        "device-aug plans (bit-identical to serial; raises "
+                        "the single-core plan-feed ceiling). 0 = serial.")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -87,6 +91,8 @@ def main(argv=None):
         cfg.runner.auto_scale_lr = True
     if args.device_aug:
         cfg.runner.device_aug = True
+    if args.device_aug_workers:
+        cfg.runner.device_aug_workers = args.device_aug_workers
     cfg.runner.seed = args.seed
     cfg.runner.output_dir = args.work_dir if args.work_dir else cfg.runner.output_dir
 

@@ -187,9 +187,14 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches_indices(self) -> List[np.ndarray]:
+        return self.batches_for_epoch(self.epoch)
+
+    def batches_for_epoch(self, epoch: int) -> List[np.ndarray]:
+        """Pure function of (seed, epoch) — lets plan prefetchers build
+        FUTURE epochs' batches without touching iterator state."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
+            rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
         nb = len(self)
         out = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]

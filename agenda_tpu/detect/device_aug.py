@@ -813,3 +813,87 @@ def render_batch(data_u8, scratch, plans, tile_hw: Tuple[int, int],
     use_scratch = (slot >= 0)[:, None, None, None]
     out = jnp.where(use_scratch, scratch[jnp.clip(slot, 0, None)], out)
     return out / 255.0
+
+
+# ---------------------------------------------------------------------------
+# parallel plan building (epoch-granularity worker pool)
+# ---------------------------------------------------------------------------
+
+
+_PREFETCH_STATE: dict = {}
+
+
+def _plan_epoch_job(epoch: int):
+    """Worker body: build every plan batch of one epoch. Runs in a forked
+    child that inherits the planner (and its decoded-tile cache / dataset
+    tensor) copy-on-write — nothing large is ever pickled in."""
+    st = _PREFETCH_STATE
+    planner = st["planner"]
+    rng = np.random.default_rng(st["rng_seed_base"] + epoch)
+    out = []
+    for idx_b in st["batches_fn"](epoch):
+        packed, scratch, _ = planner.plan_batch(
+            idx_b, rng, st["max_gt"], scratch_slots=st["slots"])
+        used = bool((packed["pass_slot"] >= 0).any())
+        out.append((packed, scratch if used else None))
+    return out
+
+
+class PlanPrefetcher:
+    """Parallel device-aug plan builder (the DataLoader ``num_workers`` role,
+    reference ``data_generation/finetune_sd.py:633-637``).
+
+    The serial host plan-builder feeds ~1800 img/s on one core (STATUS
+    round-3 measurement); any further device-render win or a faster chip
+    would hit that single-threaded wall. This pool raises the ceiling
+    ~linearly in worker count WITHOUT changing a single plan bit: the
+    runner seeds an independent ``np.random.default_rng(base + epoch)``
+    stream per epoch and batch order is a pure function of (seed, epoch)
+    (``data/datasets.py:_batches_indices``), so whole epochs are
+    independent units — worker k builds epoch e+k's plans while the main
+    process consumes epoch e. Within an epoch the stream stays sequential,
+    exactly as the serial path draws it (bit-identity is test-locked in
+    tests/test_device_aug.py).
+
+    Workers fork AFTER the planner's tile cache and dataset tensor exist,
+    so the (potentially ~0.5 GB) decoded train set is shared copy-on-write
+    rather than pickled. Epochs whose aug recipe differs from fork-time
+    state (the mosaic-close stage-2 switch) must NOT be prefetched — the
+    runner plans those serially (``stop_epoch``).
+    """
+
+    def __init__(self, planner, batches_fn, rng_seed_base: int, max_gt: int,
+                 slots: int, workers: int, stop_epoch=None, depth=None):
+        import multiprocessing as mp
+
+        _PREFETCH_STATE.update(
+            planner=planner, batches_fn=batches_fn,
+            rng_seed_base=int(rng_seed_base), max_gt=int(max_gt),
+            slots=int(slots))
+        self.stop_epoch = stop_epoch
+        self.depth = depth if depth is not None else workers + 1
+        self._pending = {}
+        self._pool = mp.get_context("fork").Pool(processes=workers)
+
+    def _submit(self, epoch: int):
+        if epoch in self._pending:
+            return
+        if self.stop_epoch is not None and epoch >= self.stop_epoch:
+            return
+        self._pending[epoch] = self._pool.apply_async(_plan_epoch_job, (epoch,))
+
+    def epoch_batches(self, epoch: int):
+        """-> list of (packed, scratch | None) for this epoch; schedules the
+        next ``depth`` epochs. Falls back to in-process building for epochs
+        past ``stop_epoch`` (callers handle that themselves)."""
+        for e in range(epoch, epoch + self.depth):
+            self._submit(e)
+        res = self._pending.pop(epoch, None)
+        if res is None:  # not prefetchable (past stop_epoch)
+            return None
+        return res.get()
+
+    def close(self):
+        self._pool.terminate()
+        self._pool.join()
+        self._pending.clear()

@@ -80,6 +80,12 @@ class RunnerConfig:
     # datasets route through ConcatAugPlanner; the fallback to the host
     # pipeline remains only for the LSJ recipe and cache-disabled datasets.
     device_aug: bool = False
+    # -- parallel plan building (device_aug only): worker processes pre-build
+    # FUTURE epochs' plan batches (epoch rng streams are independent by
+    # construction — see device_aug.PlanPrefetcher). 0 = serial in-process.
+    # Plans are bit-identical either way (test-locked); this only raises the
+    # single-core ~1800 img/s plan-feed ceiling on multi-core hosts.
+    device_aug_workers: int = 0
     # -- mmdet LayerDecayOptimizerConstructor (every reference vitdet stage:
     # Real_Source/vitdet.py:327-341, Synthetic_Heatmap/001_lsj...py:142-155,
     # Synthetic_Target/vitdet.py:319-333 — decay_rate 0.7, layer_wise, 12
@@ -465,6 +471,19 @@ class DetectorRunner:
         switch_epoch = cfg.max_epochs - cfg.close_mosaic_epochs \
             if cfg.close_mosaic_epochs > 0 else None
 
+        prefetcher = None
+        if planner is not None and cfg.device_aug_workers > 0:
+            # fork AFTER planner.dataset_tensor() filled the tile cache so
+            # workers share the decoded train set copy-on-write; stage-2
+            # (mosaic-close) epochs mutate the aug recipe, so they stay
+            # serial (stop_epoch).
+            from agenda_tpu.detect.device_aug import PlanPrefetcher
+            prefetcher = PlanPrefetcher(
+                planner, loader.batches_for_epoch,
+                (cfg.seed + 1) * 1_000_003, train_dataset.max_gt,
+                max(1, min(64, global_bs // 8)), cfg.device_aug_workers,
+                stop_epoch=switch_epoch)
+
         def epoch_batches(epoch):
             """Sharded device batches: host-augmented images, or plan arrays
             for the in-step device render."""
@@ -474,10 +493,6 @@ class DetectorRunner:
                         {"image": batch["image"], "gt_boxes": batch["gt_boxes"],
                          "gt_valid": batch["gt_valid"]}, mesh)
                 return
-            aug_rng = np.random.default_rng(
-                (cfg.seed + 1) * 1_000_003 + epoch)
-            batches = loader._batches_indices()
-            loader.epoch += 1
             # MedianBlur/CLAHE passthrough slots: expected rare-sample count
             # is ~3% of the batch; 64 covers global_bs 1024 at > 6 sigma
             slots = max(1, min(64, global_bs // 8))
@@ -486,14 +501,33 @@ class DetectorRunner:
                 zero_scratch = replicate(np.zeros(
                     (slots, planner.th, planner.tw, 3), np.float32), mesh)
                 self._zero_scratch = zero_scratch
-            for idx_b in batches:
-                packed, scratch, _ = planner.plan_batch(
-                    idx_b, aug_rng, train_dataset.max_gt, scratch_slots=slots)
+
+            def plan_stream():
+                """(packed, scratch|None) pairs — prefetched when a pool is
+                on and the epoch precedes the stage-2 recipe switch."""
+                pre = (prefetcher.epoch_batches(epoch)
+                       if prefetcher is not None else None)
+                if pre is not None:
+                    loader.epoch += 1
+                    yield from pre
+                    return
+                aug_rng = np.random.default_rng(
+                    (cfg.seed + 1) * 1_000_003 + epoch)
+                batches = loader._batches_indices()
+                loader.epoch += 1
+                for idx_b in batches:
+                    packed, scratch, _ = planner.plan_batch(
+                        idx_b, aug_rng, train_dataset.max_gt,
+                        scratch_slots=slots)
+                    used = bool((packed["pass_slot"] >= 0).any())
+                    yield packed, (scratch if used else None)
+
+            for packed, scratch in plan_stream():
                 db = shard_batch(packed, mesh)
                 # upload the scratch slab only when a passthrough sample used
                 # it — the common batch reuses the device-resident zeros
-                used = bool((packed["pass_slot"] >= 0).any())
-                db["scratch"] = replicate(scratch, mesh) if used else zero_scratch
+                db["scratch"] = (replicate(scratch, mesh)
+                                 if scratch is not None else zero_scratch)
                 db["data"] = data_rep
                 yield db
 
@@ -552,6 +586,8 @@ class DetectorRunner:
                 self._save_train_state(opt_state, epoch, gstep)
 
             saver.submit(_save, name=f"latest-e{epoch}")
+        if prefetcher is not None:
+            prefetcher.close()
         saver.wait()
         metrics_log.close()
         return {"params": ema_params if cfg.ema_decay > 0 else params,

@@ -11,7 +11,8 @@ to 4 objects per image. Thresholds are calibrated measurements minus margin
 - faster-rcnn: mAP50 0.73 at 30 epochs (lr 0.005) -> gate 0.40
   (at the stage lr 0.02 with this tiny global batch the RCNN head DIVERGES,
   loss 1.7 -> 30 — which is exactly the class of failure this gate catches)
-- vitdet:      mAP50 0.71 at 30 epochs (tiny ViT, adamw 3e-4) -> gate 0.40
+- vitdet:      mAP50 0.804 at 30 epochs (tiny ViT, adamw 3e-4) -> gate 0.55
+  (recalibrated 2026-08-20; the 2026-08-16 value was 0.71 — see below)
 
 Round-3 recalibration (2026-08-17): the yolo losses now carry the
 mmyolo/ultralytics global-batch scale (loss x bs — see yolov5.py loss
@@ -85,7 +86,8 @@ def test_yolov5_convergence_gate(tmp_path):
 _full = pytest.mark.skipif(
     not os.environ.get("AGENDA_FULL_CONVERGENCE"),
     reason="set AGENDA_FULL_CONVERGENCE=1 (10-45 min/family on 1 CPU core); "
-           "calibrated 2026-08-16: faster-rcnn 0.73-0.77, vitdet 0.71 mAP50",
+           "calibrated: faster-rcnn 0.73-0.77 (2026-08-16), vitdet 0.804 "
+           "(2026-08-20, scripts/ablate_vitdet.py)",
 )
 
 
