@@ -59,6 +59,8 @@ def write_tiny_tokenizer(d: str) -> int:
         "a e", "ae r", "aer i", "aeri al</w>",  # partial merges for 'aerial'
         "a l</w>",
         "u t", "ut a", "uta h</w>",          # utah -> single token
+        "l i", "li n", "lin z</w>",          # linz -> single token (mini-AGenDA
+                                             # source-domain word)
     ]
     for m in merges:
         vocab["".join(m.split())] = len(vocab)

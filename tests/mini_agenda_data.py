@@ -183,9 +183,12 @@ def build_mini_sd_pipeline(out_dir: str, images_u8: np.ndarray, *,
     coverage only), this builds the starting point for the generation-half
     quality gate: the tiny VAE is pretrained on the procedural domain so
     decode(encode(x)) preserves the redness invariant, and its measured
-    scaling_factor replaces SD's 0.18215. The UNet keeps sample_size =
-    resolution // 2 (the f=2 tiny VAE) so the fused DAAM side output
-    aggregates at full latent resolution (generate/pipeline.py:69).
+    scaling_factor replaces SD's 0.18215. The VAE downsamples f=4 (latent
+    16 at 64 px) so the UNet's level-0 self-attention runs at S=256 — the
+    f=2 variant's S=1024 attention measured ~24 s/step on the CPU gate
+    host — and the attention heads are 4×D=8 rather than tiny()'s 16×D=2
+    (same reason). The fused DAAM side output aggregates at full latent
+    resolution (generate/pipeline.py:69).
     """
     import dataclasses
 
@@ -207,9 +210,10 @@ def build_mini_sd_pipeline(out_dir: str, images_u8: np.ndarray, *,
     tok_dir = os.path.join(out_dir, "tokenizer")
     vocab_size = write_tiny_tokenizer(tok_dir)
 
-    latent = resolution // 2
-    unet_cfg = dataclasses.replace(UNetConfig.tiny(), sample_size=latent)
-    vae_cfg = VAEConfig.tiny()
+    latent = resolution // 4
+    unet_cfg = dataclasses.replace(UNetConfig.tiny(), sample_size=latent,
+                                   attention_head_dim=8)
+    vae_cfg = VAEConfig(block_out_channels=(16, 32, 32), layers_per_block=1)
     clip_cfg = CLIPTextConfig(
         vocab_size=vocab_size,
         hidden_size=unet_cfg.cross_attention_dim,
@@ -260,3 +264,60 @@ def heatmap_mass_in_boxes(heat: np.ndarray, centers, *, half: float = 18.0):
     frac = float(heat[mask].sum()) / total
     base = float(mask.mean())
     return frac, base
+
+
+def make_domain_pair(root: str, n_src: int, n_tgt: int, *, seed: int = 0,
+                     size: int = SIZE):
+    """Source + target sets plus a COMBINED train folder (the reference
+    fine-tunes one SD on LINZ+UGRC together with per-domain template
+    prompts — train_data.json, data_generation/README.md:5). Returns
+    (src_dir, tgt_dir, combined_dir)."""
+    import shutil
+
+    src = os.path.join(root, "src")
+    tgt = os.path.join(root, "tgt")
+    comb = os.path.join(root, "combined")
+    make_aerial_set(src, n_src, domain="source", seed=seed)
+    make_aerial_set(tgt, n_tgt, domain="target", seed=seed + 1)
+    img_dir = os.path.join(comb, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    prompts = {}
+    for name, d in (("src", src), ("tgt", tgt)):
+        dom_prompts = json.load(open(os.path.join(d, "data.json")))
+        for rel, prompt in dom_prompts.items():
+            base = os.path.basename(rel)
+            new_rel = f"images/{name}_{base}"
+            shutil.copyfile(os.path.join(d, rel),
+                            os.path.join(comb, new_rel))
+            prompts[new_rel] = prompt
+    with open(os.path.join(comb, "data.json"), "w") as f:
+        json.dump(prompts, f)
+    return src, tgt, comb
+
+
+def extraction_coco(img_dir: str, out_path: str, *, n: int,
+                    box: float = BOX, min_area: int = 40):
+    """COCO GT for GENERATED images from the redness invariant — the role
+    the real-source-trained detector's labels play for synthetic images in
+    the reference chain (data_annotation/README.md:16-24), except here the
+    procedural domain makes object locations directly recoverable. Boxes
+    use the fixed-size convention (Data/README.md). Returns #annotations."""
+    images, annotations = [], []
+    for i in range(n):
+        p = os.path.join(img_dir, f"{i}.png")
+        im = np.asarray(Image.open(p).convert("RGB"))
+        size = im.shape[0]
+        images.append({"id": i, "file_name": f"{i}.png",
+                       "width": size, "height": size})
+        for cx, cy, _area in find_generated_cars(im, min_area=min_area):
+            x = float(np.clip(cx - box / 2, 0, size - 1))
+            y = float(np.clip(cy - box / 2, 0, size - 1))
+            annotations.append({"id": len(annotations) + 1, "image_id": i,
+                                "category_id": 1,
+                                "bbox": [x, y, float(min(box, size - x)),
+                                         float(min(box, size - y))],
+                                "area": box * box, "iscrowd": 0})
+    with open(out_path, "w") as f:
+        json.dump({"categories": [{"id": 1, "name": "small"}],
+                   "images": images, "annotations": annotations}, f)
+    return len(annotations)
