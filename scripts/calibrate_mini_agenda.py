@@ -119,8 +119,9 @@ def phase_train(args):
     data_dir = os.path.join(args.workdir, "combined")
     if not os.path.isdir(data_dir):
         data_dir = os.path.join(args.workdir, "src")
+    start = args.model_dir or os.path.join(args.workdir, "pipe")
     finetune_sd.main([
-        "--pretrained_model_name_or_path", os.path.join(args.workdir, "pipe"),
+        "--pretrained_model_name_or_path", start,
         "--dataset_folder", data_dir,
         "--json_file_name", "data.json",
         "--output_dir", os.path.join(args.workdir, "sd"),
@@ -129,6 +130,7 @@ def phase_train(args):
         "--max_train_steps", str(args.sd_steps),
         "--learning_rate", str(args.lr),
         "--lr_warmup_steps", "100",
+        "--snr_gamma", "5",      # finetune_sd.sh:11
         "--checkpointing_steps", "100000",
         "--seed", "0",
     ] + (["--cache_latents"] if args.cache_latents else []))
