@@ -26,10 +26,15 @@ import sys
 
 # Hard override: the image pins JAX_PLATFORMS=axon for every process; the
 # mini-AGenDA calibration runs on CPU like the gate test it feeds.
-os.environ["JAX_PLATFORMS"] = "cpu"
-if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8").strip()
+# AGENDA_CALIB_TPU=1 keeps the attached chip instead — the tiny-SD steps run
+# ~50x faster there, so hyperparameter iteration happens on-chip and the
+# final CPU gate run just confirms the floors on the CI platform.
+_USE_TPU = bool(int(os.environ.get("AGENDA_CALIB_TPU", "0")))
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
@@ -38,7 +43,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 # as long as no device has been touched yet (tests/conftest.py:13-17).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -242,8 +248,12 @@ def phase_gentok(args):
             "--inv-heatmap-save-path", bg_dir.replace("_heatmaps",
                                                       "_inv_heatmaps"),
         ])
+        # min_area 300: between the distractor-disc band (<= ~154 px² drawn,
+        # <= ~250 after generative blur) and the car band (>= ~575 drawn,
+        # >= ~350 generated) — the GT must not count rendered discs as cars.
         n = extraction_coco(os.path.join(out, "images"),
-                            os.path.join(out, "ann.json"), n=args.n_gen)
+                            os.path.join(out, "ann.json"), n=args.n_gen,
+                            min_area=300)
         log(f"{name}: extraction GT boxes = {n} over {args.n_gen} images")
 
 
@@ -337,7 +347,7 @@ def phase_score(args):
             heat = np.asarray(Image.open(
                 os.path.join(root, "daam_cars_heatmaps", f"{i}.png")).convert("L"),
                 np.float32)
-            cars = find_generated_cars(img)
+            cars = find_generated_cars(img, min_area=300)
             counts.append(len(cars))
             if cars:
                 frac, base = heatmap_mass_in_boxes(heat, cars)
@@ -482,11 +492,24 @@ def phase_margin(args):
     return out
 
 
+def phase_full(args):
+    """Whole loop in ONE process: on the tunneled axon backend each new
+    client can wait out a multi-minute backend lease before its first op
+    runs (STATUS round-5 wedge notes), so phase-per-process chaining pays
+    that once per phase. One process = one lease."""
+    for name, fn in [("setupb", phase_setupb), ("train", phase_train),
+                     ("token1", phase_token1), ("token2", phase_token2),
+                     ("gentok", phase_gentok), ("score", phase_score),
+                     ("chain", phase_chain), ("margin", phase_margin)]:
+        log(f"=== phase {name} ===")
+        fn(args)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("phase", choices=["setup", "setupb", "train", "token1",
                                      "token2", "gen", "gentok", "score",
-                                     "chain", "margin"])
+                                     "chain", "margin", "full"])
     p.add_argument("--workdir", default="/tmp/mini_agenda")
     p.add_argument("--n-train", type=int, default=96)
     p.add_argument("--resolution", type=int, default=64)
@@ -508,7 +531,7 @@ def main():
     {"setup": phase_setup, "setupb": phase_setupb, "train": phase_train,
      "token1": phase_token1, "token2": phase_token2, "gen": phase_gen,
      "gentok": phase_gentok, "score": phase_score, "chain": phase_chain,
-     "margin": phase_margin}[args.phase](args)
+     "margin": phase_margin, "full": phase_full}[args.phase](args)
 
 
 if __name__ == "__main__":

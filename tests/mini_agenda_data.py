@@ -92,10 +92,13 @@ def make_aerial_set(
             img = _texture(rng, size, (55, 75, 50), (95, 115, 85), cell=14)
         else:
             img = _texture(rng, size, (105, 75, 50), (150, 115, 85), cell=8)
-            # car-colored round distractors: the RGB-domain trap
+            # car-colored round distractors: the RGB-domain trap. Radii are
+            # capped (area <= ~154 px²) well below the car band (>= ~575 px²)
+            # so the redness-extraction GT on GENERATED images separates the
+            # classes by area even after generative blur (cut at 300 px²).
             for _ in range(rng.randint(1, 4)):
                 _draw_disc(img, rng.uniform(8, size - 8), rng.uniform(8, size - 8),
-                           rng.uniform(7, 12),
+                           rng.uniform(4.5, 7),
                            np.array([rng.uniform(190, 240), rng.uniform(30, 70),
                                      rng.uniform(30, 70)], np.float32))
 
@@ -109,7 +112,7 @@ def make_aerial_set(
                         centers.append((cx, cy))
                         break
             for cx, cy in centers:
-                w = rng.uniform(22, 32)
+                w = rng.uniform(26, 34)
                 h = w * rng.uniform(0.85, 1.2)
                 _draw_car(img, cx, cy, w, h, rng)
 
