@@ -200,13 +200,18 @@ def phase_token2(args):
 
 
 def _styles(args):
-    """(name, prompt, bg_token_dir) triples — the three reference campaigns
-    (data_generation/README.md:34-66)."""
+    """(name, prompt, bg_token_dir, with_cars) — the three reference
+    campaigns (data_generation/README.md:34-66): source-style with cars,
+    target-style with cars, target-style WITHOUT cars (the no-cars campaign
+    doubles as the conditioning control: a model that ignores the prompt
+    renders cars here too)."""
     return [
         ("gen_src", "an aerial view image with {} cars in {} linz",
-         "daam_new_token_v1_heatmaps"),
+         "daam_new_token_v1_heatmaps", True),
         ("gen_tgt", "an aerial view image with {} cars in {} utah",
-         "daam_new_token_v2_heatmaps"),
+         "daam_new_token_v2_heatmaps", True),
+        ("gen_tgt_empty", "an aerial view image in {} utah",
+         "daam_new_token_v2_heatmaps", False),
     ]
 
 
@@ -222,15 +227,17 @@ def phase_gentok(args):
         os.path.join(args.workdir, "tok2"))
     emb = os.path.join(args.workdir, "tok1",
                        f"learned_embeds_steps_{args.tok_steps}.bin")
-    for name, prompt, bg_dir in _styles(args):
+    for name, prompt, bg_dir, with_cars in _styles(args):
         out = os.path.join(args.workdir, name)
+        heat_flags = (["--word_token_heatmaps", "cars",
+                       "--store_learnable_token_heatmaps"] if with_cars
+                      else [])  # the no-cars campaign stores images only
         data_generation.main([
             "--pretrained-model-path", model_dir,
             "--learnable-tokens-embedding-path", emb,
             "--initialize_token", *TOKEN_INIT,
             "--prompt", prompt,
-            "--word_token_heatmaps", "cars",
-            "--store_learnable_token_heatmaps",
+            *heat_flags,
             "--save-dir", out,
             "--num-images", str(args.n_gen),
             "--image-size", "112",
@@ -239,15 +246,16 @@ def phase_gentok(args):
             "--guidance-scale", str(args.guidance),
             "--batch-size", "8",
         ])
-        postprocess_heatmap.main([
-            "--save-dir", out,
-            "--object-heatmap-path", "daam_cars_heatmaps",
-            "--fg-heatmap-path", "daam_new_token_v0_heatmaps",
-            "--bg-heatmap-path", bg_dir,
-            "--stack-heatmap-save-path", "daam_stack_heatmaps",
-            "--inv-heatmap-save-path", bg_dir.replace("_heatmaps",
-                                                      "_inv_heatmaps"),
-        ])
+        if with_cars:
+            postprocess_heatmap.main([
+                "--save-dir", out,
+                "--object-heatmap-path", "daam_cars_heatmaps",
+                "--fg-heatmap-path", "daam_new_token_v0_heatmaps",
+                "--bg-heatmap-path", bg_dir,
+                "--stack-heatmap-save-path", "daam_stack_heatmaps",
+                "--inv-heatmap-save-path", bg_dir.replace("_heatmaps",
+                                                          "_inv_heatmaps"),
+            ])
         # min_area 300: between the distractor-disc band (<= ~154 px² drawn,
         # <= ~250 after generative blur) and the car band (>= ~575 drawn,
         # >= ~350 generated) — the GT must not count rendered discs as cars.
@@ -336,7 +344,7 @@ def phase_score(args):
     from mini_agenda_data import find_generated_cars, heatmap_mass_in_boxes
 
     out = {}
-    for name, _, _ in _styles(args):
+    for name, _, _, with_cars in _styles(args):
         root = os.path.join(args.workdir, name)
         if not os.path.isdir(root):
             continue
@@ -344,12 +352,12 @@ def phase_score(args):
         for i in range(args.n_gen):
             img = np.asarray(Image.open(
                 os.path.join(root, "images", f"{i}.png")).convert("RGB"))
-            heat = np.asarray(Image.open(
-                os.path.join(root, "daam_cars_heatmaps", f"{i}.png")).convert("L"),
-                np.float32)
             cars = find_generated_cars(img, min_area=300)
             counts.append(len(cars))
-            if cars:
+            if with_cars and cars:
+                heat = np.asarray(Image.open(
+                    os.path.join(root, "daam_cars_heatmaps",
+                                 f"{i}.png")).convert("L"), np.float32)
                 frac, base = heatmap_mass_in_boxes(heat, cars)
                 concs.append(frac), bases.append(base)
         lift = (np.array(concs) / np.maximum(np.array(bases), 1e-9)
