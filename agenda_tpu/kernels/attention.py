@@ -39,9 +39,28 @@ def attention_reference(
 
     Softmax accumulates in f32 regardless of input dtype (matches the
     reference's ``attn.get_attention_scores`` upcast behavior).
+
+    AGENDA_TPU_ATTN_LAYOUT=bhsd switches to an explicitly head-major
+    formulation (swapaxes around per-head einsums) — a measurement knob for
+    the D=40 layout-copy investigation (round-5 profile: the S=4096 layers'
+    bracketing transpose fusions cost 7.3 ms/layer/step, 28% of the
+    generation step).
     """
+    import os
+
     dtype = q.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    if os.environ.get("AGENDA_TPU_ATTN_LAYOUT") == "bhsd":
+        qh = jnp.swapaxes(q, 1, 2)   # (B, H, Sq, D)
+        kh = jnp.swapaxes(k, 1, 2)
+        vh = jnp.swapaxes(v, 1, 2)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = logits + mask
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), vh)
+        return jnp.swapaxes(out, 1, 2)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if mask is not None:

@@ -95,7 +95,11 @@ def main():
     vae_cfg = VAEConfig()
     clip_cfg = CLIPTextConfig(vocab_size=len(tokenizer))
 
-    unet = UNet2DConditionModel(unet_cfg, dtype=dtype)
+    # BENCH_FLASH_MIN_DIM: dispatch experiment knob (65 = measured default:
+    # XLA fused attention below D=65; 40 = Pallas flash everywhere).
+    unet = UNet2DConditionModel(
+        unet_cfg, dtype=dtype,
+        flash_min_dim=int(os.environ.get("BENCH_FLASH_MIN_DIM", "65")))
     vae = AutoencoderKL(vae_cfg, dtype=dtype)
     text = CLIPTextModel(clip_cfg, dtype=dtype)
 
