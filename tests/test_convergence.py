@@ -11,8 +11,8 @@ to 4 objects per image. Thresholds are calibrated measurements minus margin
 - faster-rcnn: mAP50 0.73 at 30 epochs (lr 0.005) -> gate 0.40
   (at the stage lr 0.02 with this tiny global batch the RCNN head DIVERGES,
   loss 1.7 -> 30 — which is exactly the class of failure this gate catches)
-- vitdet:      mAP50 0.804 at 30 epochs (tiny ViT, adamw 3e-4) -> gate 0.55
-  (recalibrated 2026-08-20; the 2026-08-16 value was 0.71 — see below)
+- vitdet:      mAP50 0.62-0.77 over 3 seeds (tiny ViT, adamw 3e-4)
+  -> gate 0.45 (round-5 recalibration on the 64-image val — see below)
 
 Round-3 recalibration (2026-08-17): the yolo losses now carry the
 mmyolo/ultralytics global-batch scale (loss x bs — see yolov5.py loss
@@ -22,13 +22,16 @@ same lr, so the yolo gates tightened accordingly; yolov5's published-paper
 deficit vs yolov8 (68.8 vs 75.4 AP50) is now roughly the gap seen here.
 
 Round-4 vitdet recalibration (2026-08-20, scripts/ablate_vitdet.py): the
-exact gate config now measures mAP50 0.804 (was 0.71 on 2026-08-16 — the
-old number predates the round-3 eval-path rework, e.g. the device-side
-PIL-exact eval resize 9c0e1f4; on a 16-image val set a handful of boxes
-moves mAP50 several points). Ablation: no-window 0.796 (window attention
-is NOT the limiter). vitdet now sits at/above faster-rcnn's 0.73-0.77 —
-the residual gap to yolov8's 0.91 tracks the shared two-stage head on this
-tiny-geometry benchmark, not the ViT backbone. Gate raised 0.40 -> 0.55.
+exact gate config measured mAP50 0.804 on the then-16-image val (the
+2026-08-16 value 0.71 predated the round-3 eval-path rework). Ablation:
+no-window 0.796 (window attention is NOT the limiter).
+
+Round-5 recalibration (2026-08-21, scripts/recalibrate_gates.py,
+scripts/calibration_r5.jsonl): val grown 16 -> 64 images (16 quantized
+mAP coarsely — the 0.804 was quantized UP), 3 training seeds per family.
+vitdet: 0.652 / 0.624 / 0.768 -> gate 0.45 (measured min - 0.17).
+Further rows land in calibration_r5.jsonl as the sweep completes; gates
+are updated family-by-family from the measured minima.
 
 A subtly broken assigner, box loss, or decoder plateaus near zero here, so
 these gates fail on real regressions, not just NaNs.
@@ -51,7 +54,10 @@ def _train_and_eval(tmp_path, name, model_kw, lr, epochs, optimizer="sgd",
     va = os.path.join(str(tmp_path), "val")
     os.makedirs(tr), os.makedirs(va)
     make_hard_dataset(tr, 64, seed=0)
-    make_hard_dataset(va, 16, seed=99)
+    # 64 val images (round 5, was 16): on 16 images a handful of boxes
+    # moves mAP50 several points — the r4 vitdet "0.804" was such an
+    # artifact (0.62-0.77 across seeds on this 64-image set).
+    make_hard_dataset(va, 64, seed=99)
     train_ds = CocoDetDataset(tr, "ann.json", img_scale=(64, 64), max_gt=8,
                               train=True, aug=aug)
     val_ds = CocoDetDataset(va, "ann.json", img_scale=(64, 64), max_gt=8, train=False)
@@ -85,9 +91,10 @@ def test_yolov5_convergence_gate(tmp_path):
 # module docstring; both measured green on 2026-08-16).
 _full = pytest.mark.skipif(
     not os.environ.get("AGENDA_FULL_CONVERGENCE"),
-    reason="set AGENDA_FULL_CONVERGENCE=1 (10-45 min/family on 1 CPU core); "
-           "calibrated: faster-rcnn 0.73-0.77 (2026-08-16), vitdet 0.804 "
-           "(2026-08-20, scripts/ablate_vitdet.py)",
+    reason="set AGENDA_FULL_CONVERGENCE=1 (15-60 min/family on 1 CPU core); "
+           "calibrated: faster-rcnn 0.73-0.77 (2026-08-16, 16-img val), "
+           "vitdet 0.624-0.768 x3 seeds (2026-08-21, 64-img val, "
+           "scripts/calibration_r5.jsonl)",
 )
 
 
@@ -123,6 +130,8 @@ def test_vitdet_convergence_gate(tmp_path):
              window_size=2, window_block_indexes=(0,), drop_path_rate=0.0,
              nms_pre=256, num_proposals=64, rpn_sample=64, rcnn_sample=64),
         lr=3e-4, epochs=30, optimizer="adamw")
-    # calibrated 0.804 (2026-08-20, scripts/ablate_vitdet.py baseline);
-    # the old 0.71 predates the round-3 eval-path rework — see module docstring
-    assert res["bbox_mAP_50"] >= 0.55, res
+    # round-5 recalibration on the 64-image val set, 3 training seeds
+    # (scripts/recalibrate_gates.py -> scripts/calibration_r5.jsonl):
+    # mAP50 0.652 / 0.624 / 0.768 (the r4 single-seed 0.804 was quantized
+    # up by the 16-image val). Gate = measured min 0.624 - 0.17 margin.
+    assert res["bbox_mAP_50"] >= 0.45, res
