@@ -32,14 +32,20 @@ import sys
 import tempfile
 import time
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8").strip()
+# AGENDA_CALIB_TPU=1 runs on the attached chip instead (ablation
+# CONTROLS only — the gate numbers themselves stay CPU-calibrated to
+# match the CI platform; rows record "platform").
+_USE_TPU = bool(int(os.environ.get("AGENDA_CALIB_TPU", "0")))
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -141,13 +147,15 @@ def run_one(name, spec, n_val=64):
         res = runner.evaluate(variables, val_ds)
     return {"job": name, "n_val": n_val,
             **{k: float(v) for k, v in res.items()},
-            "wall_s": round(time.time() - t0, 1)}
+            "wall_s": round(time.time() - t0, 1),
+            "platform": "tpu" if _USE_TPU else "cpu"}
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--only", default=None,
-                   help="run only jobs whose name starts with this prefix")
+                   help="run only jobs whose name starts with one of these "
+                        "comma-separated prefixes")
     p.add_argument("--n-val", type=int, default=64)
     args = p.parse_args()
 
@@ -156,8 +164,10 @@ def main():
         with open(RESULTS) as f:
             done = {json.loads(line)["job"] for line in f if line.strip()}
 
+    prefixes = args.only.split(",") if args.only else None
     for name, spec in _jobs():
-        if name in done or (args.only and not name.startswith(args.only)):
+        if name in done or (prefixes and not any(
+                name.startswith(p) for p in prefixes)):
             continue
         print(f"[recalibrate] {name} ...", flush=True)
         rec = run_one(name, spec, n_val=args.n_val)
