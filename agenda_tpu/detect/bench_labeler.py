@@ -34,6 +34,19 @@ _CKPT = "stack_labeler.safetensors"
 MODEL_KW = dict(img_size=128, max_gt=8)
 
 
+def _domain_fingerprint() -> str:
+    """sha1 over the procedural-domain builder source: a change to the
+    training distribution must invalidate the cached labeler+threshold
+    (they were calibrated against the old distribution)."""
+    import hashlib
+    import inspect
+
+    from agenda_tpu.io import procedural
+
+    return hashlib.sha1(
+        inspect.getsource(procedural).encode()).hexdigest()[:16]
+
+
 def prepare_stack_labeler(cache_dir: str, *, retrain: bool = False,
                           epochs: int = 30, log=print) -> Tuple[object, dict, float]:
     """Returns (family, variables, f1max_threshold); trains + caches on miss."""
@@ -44,10 +57,12 @@ def prepare_stack_labeler(cache_dir: str, *, retrain: bool = False,
     meta_path = os.path.join(cache_dir, _META)
     ckpt_path = os.path.join(cache_dir, _CKPT)
     fam = build_family("yolov8", model=dict(MODEL_KW))
+    domain_sha = _domain_fingerprint()
 
     if not retrain and os.path.exists(meta_path) and os.path.exists(ckpt_path):
         meta = json.load(open(meta_path))
-        if meta.get("model_kw") == MODEL_KW and meta.get("epochs") == epochs:
+        if (meta.get("model_kw") == MODEL_KW and meta.get("epochs") == epochs
+                and meta.get("domain_sha") == domain_sha):
             log(f"# stack labeler: cached (thr={meta['threshold']:.3f} "
                 f"ap={meta['ap']:.3f})")
             return fam, load_variables(ckpt_path), float(meta["threshold"])
@@ -82,7 +97,7 @@ def prepare_stack_labeler(cache_dir: str, *, retrain: bool = False,
         with open(meta_path, "w") as f:
             json.dump({"threshold": res["threshold"], "ap": res["ap"],
                        "f1_max": res["f1_max"], "model_kw": MODEL_KW,
-                       "epochs": epochs}, f)
+                       "epochs": epochs, "domain_sha": domain_sha}, f)
         log(f"# stack labeler: trained (val AP {res['ap']:.3f}, F1-max thr "
             f"{res['threshold']:.3f}) -> cached in {cache_dir}")
         return fam, variables, float(res["threshold"])

@@ -320,18 +320,42 @@ class DetectorRunner:
         mesh = make_mesh()
         global_bs = cfg.batch_size * mesh.shape["dp"]
         planner = data_dev = None
+        data_host = None
         if cfg.device_aug:
             planner, why = self._make_planner(train_dataset)
             if planner is None:
                 logger.warning("device_aug requested but unsupported (%s); "
                                "using the host aug pipeline", why)
             else:
-                data_dev = jnp.asarray(planner.dataset_tensor())
-                logger.info("device aug on: %d tiles (%.0f MB) resident in "
-                            "device memory", data_dev.shape[0],
-                            data_dev.nbytes / 1e6)
+                # Host-only cache fill; the device upload happens AFTER the
+                # plan-prefetcher pool forks (workers share the decoded set
+                # copy-on-write and must not inherit mid-upload jax state).
+                data_host = planner.dataset_tensor()
         loader = DataLoader(train_dataset, global_bs, shuffle=True, seed=cfg.seed,
                             num_workers=2, pad_to_full=True)
+        switch_epoch = cfg.max_epochs - cfg.close_mosaic_epochs \
+            if cfg.close_mosaic_epochs > 0 else None
+        prefetcher = None
+        if planner is not None and cfg.device_aug_workers > 0:
+            # fork AFTER planner.dataset_tensor() filled the tile cache so
+            # workers share the decoded train set copy-on-write, and BEFORE
+            # model init / the device upload (forking with a live
+            # accelerator client risks inheriting held runtime locks; the
+            # children only ever run numpy/PIL). Stage-2 (mosaic-close)
+            # epochs mutate the aug recipe, so they stay serial
+            # (stop_epoch).
+            from agenda_tpu.detect.device_aug import PlanPrefetcher
+            prefetcher = PlanPrefetcher(
+                planner, loader.batches_for_epoch,
+                (cfg.seed + 1) * 1_000_003, train_dataset.max_gt,
+                max(1, min(64, global_bs // 8)), cfg.device_aug_workers,
+                stop_epoch=switch_epoch)
+        if data_host is not None:
+            data_dev = jnp.asarray(data_host)
+            logger.info("device aug on: %d tiles (%.0f MB) resident in "
+                        "device memory", data_dev.shape[0],
+                        data_dev.nbytes / 1e6)
+            del data_host
         steps_per_epoch = len(loader)
         base_lr = cfg.lr
         if cfg.auto_scale_lr and cfg.base_batch_size:
@@ -468,22 +492,6 @@ class DetectorRunner:
         from agenda_tpu.train.checkpoint import AsyncWriter
         saver = AsyncWriter()
 
-        switch_epoch = cfg.max_epochs - cfg.close_mosaic_epochs \
-            if cfg.close_mosaic_epochs > 0 else None
-
-        prefetcher = None
-        if planner is not None and cfg.device_aug_workers > 0:
-            # fork AFTER planner.dataset_tensor() filled the tile cache so
-            # workers share the decoded train set copy-on-write; stage-2
-            # (mosaic-close) epochs mutate the aug recipe, so they stay
-            # serial (stop_epoch).
-            from agenda_tpu.detect.device_aug import PlanPrefetcher
-            prefetcher = PlanPrefetcher(
-                planner, loader.batches_for_epoch,
-                (cfg.seed + 1) * 1_000_003, train_dataset.max_gt,
-                max(1, min(64, global_bs // 8)), cfg.device_aug_workers,
-                stop_epoch=switch_epoch)
-
         def epoch_batches(epoch):
             """Sharded device batches: host-augmented images, or plan arrays
             for the in-step device render."""
@@ -513,7 +521,11 @@ class DetectorRunner:
                     return
                 aug_rng = np.random.default_rng(
                     (cfg.seed + 1) * 1_000_003 + epoch)
-                batches = loader._batches_indices()
+                # keyed on the TRUE epoch (not loader.epoch, which restarts
+                # at 0 on resume) so the shuffle stream matches the
+                # prefetched path and a resumed run continues the same
+                # epoch->batches mapping as an uninterrupted one
+                batches = loader.batches_for_epoch(epoch)
                 loader.epoch += 1
                 for idx_b in batches:
                     packed, scratch, _ = planner.plan_batch(
@@ -536,58 +548,63 @@ class DetectorRunner:
             return bool(planner is not None and a is not None
                         and a.mosaic and a.mixup_prob > 0)
 
-        for epoch in range(start_epoch, cfg.max_epochs):
-            if switch_epoch is not None and epoch >= switch_epoch:
-                self._apply_stage2_aug(train_dataset)
-            has_mix = recipe_has_mix()
-            for db in epoch_batches(epoch):
-                params, ema_params, batch_stats, opt_state, metrics = train_step(
-                    params, ema_params, batch_stats, opt_state, db, rng,
-                    jnp.int32(gstep), has_mix
-                )
-                gstep += 1
-                if gstep % cfg.log_interval == 0 or gstep <= 2:
-                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                    m.update(epoch=epoch, step=gstep, lr=float(lr_fn(gstep)),
-                             sps=timer.tick(gstep))
-                    metrics_log.write(_json.dumps(m) + "\n")
+        try:
+            for epoch in range(start_epoch, cfg.max_epochs):
+                if switch_epoch is not None and epoch >= switch_epoch:
+                    self._apply_stage2_aug(train_dataset)
+                has_mix = recipe_has_mix()
+                for db in epoch_batches(epoch):
+                    params, ema_params, batch_stats, opt_state, metrics = train_step(
+                        params, ema_params, batch_stats, opt_state, db, rng,
+                        jnp.int32(gstep), has_mix
+                    )
+                    gstep += 1
+                    if gstep % cfg.log_interval == 0 or gstep <= 2:
+                        m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                        m.update(epoch=epoch, step=gstep, lr=float(lr_fn(gstep)),
+                                 sps=timer.tick(gstep))
+                        metrics_log.write(_json.dumps(m) + "\n")
+                        metrics_log.flush()
+                        logger.info("e%d s%d loss=%.4f lr=%.2e", epoch, gstep,
+                                    m["loss"], m["lr"])
+                # dynamic_intervals: tighter val cadence inside the mosaic-close
+                # window (Real_Source/yolov8.py:229-232, val_interval_stage2 = 1).
+                val_every = cfg.val_interval
+                if (switch_epoch is not None and epoch >= switch_epoch
+                        and cfg.val_interval_stage2 is not None):
+                    val_every = cfg.val_interval_stage2
+                if val_dataset is not None and (epoch + 1) % val_every == 0:
+                    eval_params = ema_params if cfg.ema_decay > 0 else params
+                    variables = {"params": eval_params, "batch_stats": batch_stats}
+                    results = self.evaluate(variables, val_dataset)
+                    logger.info("epoch %d val: %s", epoch,
+                                {k: round(v, 4) for k, v in results.items()})
+                    metrics_log.write(_json.dumps({"epoch": epoch, **results}) + "\n")
                     metrics_log.flush()
-                    logger.info("e%d s%d loss=%.4f lr=%.2e", epoch, gstep,
-                                m["loss"], m["lr"])
-            # dynamic_intervals: tighter val cadence inside the mosaic-close
-            # window (Real_Source/yolov8.py:229-232, val_interval_stage2 = 1).
-            val_every = cfg.val_interval
-            if (switch_epoch is not None and epoch >= switch_epoch
-                    and cfg.val_interval_stage2 is not None):
-                val_every = cfg.val_interval_stage2
-            if val_dataset is not None and (epoch + 1) % val_every == 0:
-                eval_params = ema_params if cfg.ema_decay > 0 else params
-                variables = {"params": eval_params, "batch_stats": batch_stats}
-                results = self.evaluate(variables, val_dataset)
-                logger.info("epoch %d val: %s", epoch,
-                            {k: round(v, 4) for k, v in results.items()})
-                metrics_log.write(_json.dumps({"epoch": epoch, **results}) + "\n")
-                metrics_log.flush()
-                for key in cfg.save_best:
-                    if results.get(key, -1) > best[key]:
-                        best[key] = results[key]
-                        save_variables(
-                            os.path.join(cfg.output_dir, f"best_{key}.safetensors"),
-                            variables,
-                        )
-            latest = {"params": params, "batch_stats": batch_stats}
-            if cfg.ema_decay > 0:
-                latest["ema_params"] = ema_params
+                    for key in cfg.save_best:
+                        if results.get(key, -1) > best[key]:
+                            best[key] = results[key]
+                            save_variables(
+                                os.path.join(cfg.output_dir, f"best_{key}.safetensors"),
+                                variables,
+                            )
+                latest = {"params": params, "batch_stats": batch_stats}
+                if cfg.ema_decay > 0:
+                    latest["ema_params"] = ema_params
 
-            def _save(latest=latest, opt_state=opt_state, epoch=epoch,
-                      gstep=gstep):
-                save_variables(
-                    os.path.join(cfg.output_dir, "latest.safetensors"), latest)
-                self._save_train_state(opt_state, epoch, gstep)
+                def _save(latest=latest, opt_state=opt_state, epoch=epoch,
+                          gstep=gstep):
+                    save_variables(
+                        os.path.join(cfg.output_dir, "latest.safetensors"), latest)
+                    self._save_train_state(opt_state, epoch, gstep)
 
-            saver.submit(_save, name=f"latest-e{epoch}")
-        if prefetcher is not None:
-            prefetcher.close()
+                saver.submit(_save, name=f"latest-e{epoch}")
+        finally:
+            # the worker pool must not outlive a failed training
+            # (NaN abort / OOM / KeyboardInterrupt) — each stranded
+            # pool holds a copy-on-write view of the dataset tensor
+            if prefetcher is not None:
+                prefetcher.close()
         saver.wait()
         metrics_log.close()
         return {"params": ema_params if cfg.ema_decay > 0 else params,

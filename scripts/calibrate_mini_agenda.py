@@ -139,7 +139,11 @@ def phase_train(args):
         "--snr_gamma", "5",      # finetune_sd.sh:11
         "--checkpointing_steps", "100000",
         "--seed", "0",
-    ] + (["--cache_latents"] if args.cache_latents else []))
+        # finetune_sd defaults cache_latents ON — pass the explicit opt-out
+        # when the harness flag is unset so "uncached" really measures the
+        # uncached path
+        "--cache_latents" if args.cache_latents else "--no_cache_latents",
+    ])
 
 
 TOKEN_INIT = ["cars", "linz", "utah"]   # -> new_token_v0 (fg), v1, v2 (bgs)

@@ -159,14 +159,17 @@ def main():
     p.add_argument("--n-val", type=int, default=64)
     args = p.parse_args()
 
+    platform = "tpu" if _USE_TPU else "cpu"
     done = set()
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
-            done = {json.loads(line)["job"] for line in f if line.strip()}
+            done = {(r["job"], r.get("n_val"), r.get("platform", "cpu"))
+                    for r in map(json.loads,
+                                 (l for l in f if l.strip()))}
 
     prefixes = args.only.split(",") if args.only else None
     for name, spec in _jobs():
-        if name in done or (prefixes and not any(
+        if (name, args.n_val, platform) in done or (prefixes and not any(
                 name.startswith(p) for p in prefixes)):
             continue
         print(f"[recalibrate] {name} ...", flush=True)

@@ -315,11 +315,11 @@ def extraction_coco(img_dir: str, out_path: str, *, n: int,
         for cx, cy, _area in find_generated_cars(im, min_area=min_area):
             x = float(np.clip(cx - box / 2, 0, size - 1))
             y = float(np.clip(cy - box / 2, 0, size - 1))
+            w = float(min(box, size - x))
+            h = float(min(box, size - y))
             annotations.append({"id": len(annotations) + 1, "image_id": i,
-                                "category_id": 1,
-                                "bbox": [x, y, float(min(box, size - x)),
-                                         float(min(box, size - y))],
-                                "area": box * box, "iscrowd": 0})
+                                "category_id": 1, "bbox": [x, y, w, h],
+                                "area": w * h, "iscrowd": 0})
     with open(out_path, "w") as f:
         json.dump({"categories": [{"id": 1, "name": "small"}],
                    "images": images, "annotations": annotations}, f)
