@@ -6,9 +6,12 @@ object-like distractors, scale/aspect/color-jittered ~42px targets, and up
 to 4 objects per image. Thresholds are calibrated measurements minus margin
 (calibrated on the 8-virtual-device CPU mesh, 2026-08-16):
 
-- yolov8:      mAP50 0.91 at 30 epochs (lr 0.01)  -> gate 0.60
-- yolov5:      mAP50 0.82 at 30 epochs (lr 0.01)  -> gate 0.45
-- faster-rcnn: mAP50 0.73 at 30 epochs (lr 0.005) -> gate 0.40
+- yolov8:      mAP50 0.877-0.918 over 3 seeds (lr 0.01) -> gate 0.60
+  (round-5 recalibration on the 64-image val; 16-val 2026-08-17: 0.91)
+- yolov5:      mAP50 0.781 (seed 0, 64-img val, r5; 16-val 2026-08-17:
+  0.82) -> gate 0.45
+- faster-rcnn: mAP50 0.735 (seed 0, 64-img val, r5; 16-val 2026-08-16:
+  0.73) -> gate 0.40
   (at the stage lr 0.02 with this tiny global batch the RCNN head DIVERGES,
   loss 1.7 -> 30 — which is exactly the class of failure this gate catches)
 - vitdet:      mAP50 0.62-0.77 over 3 seeds (tiny ViT, adamw 3e-4)
@@ -75,14 +78,15 @@ def _train_and_eval(tmp_path, name, model_kw, lr, epochs, optimizer="sgd",
 def test_yolov8_convergence_gate(tmp_path):
     res = _train_and_eval(tmp_path, "yolov8", dict(img_size=64, max_gt=8),
                           lr=0.01, epochs=30)
-    assert res["bbox_mAP_50"] >= 0.60, res  # calibrated 0.91
+    # r5 recalibration, 64-image val, 3 seeds: 0.903 / 0.877 / 0.918
+    assert res["bbox_mAP_50"] >= 0.60, res
 
 
 @pytest.mark.slow
 def test_yolov5_convergence_gate(tmp_path):
     res = _train_and_eval(tmp_path, "yolov5", dict(img_size=64, max_gt=8),
                           lr=0.01, epochs=30)
-    assert res["bbox_mAP_50"] >= 0.45, res  # calibrated 0.82
+    assert res["bbox_mAP_50"] >= 0.45, res  # r5 64-val calibration 0.781
 
 
 # The two-stage families need 10-45 min each on this single-core host
@@ -118,7 +122,9 @@ def test_faster_rcnn_convergence_gate(tmp_path):
         dict(img_size=64, max_gt=8, nms_pre=256, num_proposals=64,
              rpn_sample=64, rcnn_sample=64),
         lr=0.005, epochs=30)
-    assert res["bbox_mAP_50"] >= 0.40, res  # calibrated 0.73 @ epoch 29
+    # r5 recalibration on the 64-image val (seed 0): 0.735 — the
+    # 2026-08-16 0.73-0.77 was NOT stale, unlike vitdet's
+    assert res["bbox_mAP_50"] >= 0.40, res
 
 
 @_full
