@@ -107,7 +107,7 @@ def phase_setupb(args):
     from mini_agenda_data import build_mini_sd_pipeline, make_domain_pair
 
     src, tgt, comb = make_domain_pair(args.workdir, args.n_train,
-                                      args.n_train, seed=0)
+                                      args.n_train, seed=args.domain_seed)
     prompts = json.load(open(os.path.join(comb, "data.json")))
     imgs = np.stack([
         np.asarray(Image.open(os.path.join(comb, rel)))
@@ -523,6 +523,8 @@ def main():
                                      "token2", "gen", "gentok", "score",
                                      "chain", "margin", "full"])
     p.add_argument("--workdir", default="/tmp/mini_agenda")
+    p.add_argument("--domain-seed", type=int, default=0,
+                   help="procedural domain-pair seed (floor-robustness runs)")
     p.add_argument("--n-train", type=int, default=96)
     p.add_argument("--resolution", type=int, default=64)
     p.add_argument("--vae-steps", type=int, default=500)

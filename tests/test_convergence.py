@@ -8,8 +8,8 @@ to 4 objects per image. Thresholds are calibrated measurements minus margin
 
 - yolov8:      mAP50 0.877-0.918 over 3 seeds (lr 0.01) -> gate 0.60
   (round-5 recalibration on the 64-image val; 16-val 2026-08-17: 0.91)
-- yolov5:      mAP50 0.781 (seed 0, 64-img val, r5; 16-val 2026-08-17:
-  0.82) -> gate 0.45
+- yolov5:      mAP50 0.746-0.803 over 3 seeds (64-img val, r5; 16-val
+  2026-08-17: 0.82) -> gate 0.45
 - faster-rcnn: mAP50 0.735 (seed 0, 64-img val, r5; 16-val 2026-08-16:
   0.73) -> gate 0.40
   (at the stage lr 0.02 with this tiny global batch the RCNN head DIVERGES,
@@ -86,7 +86,8 @@ def test_yolov8_convergence_gate(tmp_path):
 def test_yolov5_convergence_gate(tmp_path):
     res = _train_and_eval(tmp_path, "yolov5", dict(img_size=64, max_gt=8),
                           lr=0.01, epochs=30)
-    assert res["bbox_mAP_50"] >= 0.45, res  # r5 64-val calibration 0.781
+    # r5 recalibration, 64-image val, 3 seeds: 0.781 / 0.746 / 0.803
+    assert res["bbox_mAP_50"] >= 0.45, res
 
 
 # The two-stage families need 10-45 min each on this single-core host
