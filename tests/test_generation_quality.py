@@ -35,8 +35,14 @@ Calibration (scripts/calibrate_mini_agenda.py full; seeds fixed):
     chain src-val mAP50 1.0, pseudo P 0.850 R 0.948 F1 0.897,
     refined F1 0.910 (refine IMPROVES); margin 0.736 -> 0.994;
     no-cars campaign 0.453 cars/img vs 1.5-1.75 on car prompts.
-Floors are calibrated values minus safety margin (2 independent runs;
-domain-pair seeds fixed, generation seeds deterministic).
+  2026-08-21 TPU v5e chip run C (domain seed 7 — cross-seed robustness
+    probe, NOT the gate's pinned seed): chain still strong (src-val
+    0.851, pseudo F1 0.878, refined 0.930) but tgt lift 1.19 and margin
+    +0.016 — that domain draw's source-only detector does not degrade on
+    target (0.971), so the margin floor is meaningful only for the
+    pinned seed-0 domain, whose source-only baseline measures 0.67-0.74.
+Floors are calibrated values minus safety margin (2 independent runs at
+the pinned domain seed; generation seeds deterministic).
 
 Runtime: ~40 min on the attached chip (AGENDA_TPU_TESTS=1), ~4 h on the
 single-core CPU host — env-gated like the full convergence gates.
@@ -78,11 +84,18 @@ def _load_calib():
 @pytest.mark.slow
 def test_generation_half_quality_gate(tmp_path):
     calib = _load_calib()
+    # domain_seed is PINNED: the floors are calibrated for this domain
+    # draw. A cross-seed robustness run (seed 7, 2026-08-21) measured the
+    # variance: tgt lift drops to 1.19 and the margin to +0.016 — not
+    # because the chain weakens (pseudo F1 0.878, refine improves to
+    # 0.930) but because that draw's source-only detector does not
+    # degrade on target (0.971 mAP50): the engineered domain gap itself
+    # is seed-dependent.
     args = argparse.Namespace(
-        workdir=str(tmp_path), n_train=96, resolution=64, vae_steps=500,
-        sd_steps=2600, tok_steps=800, tok2_steps=400, tok_lr=5e-4, bs=32,
-        lr=1e-3, cache_latents=True, n_gen=64, det_epochs=30, steps=20,
-        guidance=1.0, model_dir=None)
+        workdir=str(tmp_path), domain_seed=0, n_train=96, resolution=64,
+        vae_steps=500, sd_steps=2600, tok_steps=800, tok2_steps=400,
+        tok_lr=5e-4, bs=32, lr=1e-3, cache_latents=True, n_gen=64,
+        det_epochs=30, steps=20, guidance=1.0, model_dir=None)
 
     calib.phase_setupb(args)
     calib.phase_train(args)
