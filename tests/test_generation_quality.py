@@ -91,10 +91,16 @@ def test_generation_half_quality_gate(tmp_path):
     # 0.930) but because that draw's source-only detector does not
     # degrade on target (0.971 mAP50): the engineered domain gap itself
     # is seed-dependent.
+    import jax
+
+    # bs is PER-DEVICE (the trainer CLI semantics): pin the calibrated
+    # GLOBAL batch 32 across platforms (1 chip vs the 8-virtual-device
+    # CPU mesh)
+    per_dev_bs = max(1, 32 // jax.device_count())
     args = argparse.Namespace(
         workdir=str(tmp_path), domain_seed=0, n_train=96, resolution=64,
         vae_steps=500, sd_steps=2600, tok_steps=800, tok2_steps=400,
-        tok_lr=5e-4, bs=32, lr=1e-3, cache_latents=True, n_gen=64,
+        tok_lr=5e-4, bs=per_dev_bs, lr=1e-3, cache_latents=True, n_gen=64,
         det_epochs=30, steps=20, guidance=1.0, model_dir=None)
 
     calib.phase_setupb(args)
